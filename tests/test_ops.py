@@ -1,0 +1,310 @@
+"""Unit tests for the pure compute ops (hash encoding, samplers, rendering,
+losses) — numerical semantics the reference inherits from
+nerfstudio/tcnn/nerfacc (SURVEY §2b)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from thermo_tpu.ops.contraction import scene_contraction_inf, contract_to_unit_cube
+from thermo_tpu.ops.hash_encoding import HashGridSpec, hash_encode, init_hash_table
+from thermo_tpu.ops.losses import (
+    distortion_loss,
+    interlevel_loss,
+    lossfun_distortion,
+    mse,
+)
+from thermo_tpu.ops.math import searchsorted, trunc_exp
+from thermo_tpu.ops.rendering import (
+    render_accumulation,
+    render_depth_expected,
+    render_depth_median,
+    render_rgb,
+    render_thermal,
+    render_weights,
+)
+from thermo_tpu.ops.samplers import (
+    ProposalSamplerConfig,
+    RaySegments,
+    proposal_anneal,
+    proposal_sample,
+    proposal_update_schedule,
+    sample_pdf,
+    sample_spaced,
+    spacing_piecewise,
+    spacing_piecewise_inv,
+)
+from thermo_tpu.ops.sh import sh_encoding
+
+
+class TestMath:
+    def test_trunc_exp_forward(self):
+        x = jnp.array([-1.0, 0.0, 2.0])
+        np.testing.assert_allclose(trunc_exp(x), np.exp([-1.0, 0.0, 2.0]), rtol=1e-6)
+
+    def test_trunc_exp_gradient_clamped(self):
+        g = jax.grad(lambda x: trunc_exp(x))(20.0)
+        np.testing.assert_allclose(g, np.exp(15.0), rtol=1e-6)
+        g = jax.grad(lambda x: trunc_exp(x))(-20.0)
+        np.testing.assert_allclose(g, np.exp(-15.0), rtol=1e-6)
+
+    @pytest.mark.parametrize("side", ["left", "right"])
+    def test_searchsorted_matches_numpy(self, side):
+        rng = np.random.default_rng(0)
+        a = np.sort(rng.uniform(size=(4, 16)), axis=-1)
+        v = rng.uniform(size=(4, 7))
+        got = searchsorted(jnp.asarray(a), jnp.asarray(v), side=side)
+        want = np.stack([np.searchsorted(a[i], v[i], side=side) for i in range(4)])
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+class TestContraction:
+    def test_identity_inside_unit_ball(self):
+        x = jnp.array([[0.3, -0.2, 0.5]])
+        np.testing.assert_allclose(scene_contraction_inf(x), x, rtol=1e-6)
+
+    def test_contracts_to_radius_2(self):
+        x = jnp.array([[100.0, 0.0, 0.0], [0.0, -1e6, 0.0]])
+        out = np.asarray(scene_contraction_inf(x))
+        assert np.all(np.abs(out) <= 2.0)
+        np.testing.assert_allclose(out[0, 0], 2.0 - 1.0 / 100.0, rtol=1e-5)
+
+    def test_unit_cube_range(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(100, 3)) * 10)
+        p = np.asarray(contract_to_unit_cube(x))
+        assert np.all(p >= 0.0) and np.all(p <= 1.0)
+
+
+class TestSH:
+    def test_constant_term(self):
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        out = sh_encoding(d, levels=4)
+        assert out.shape == (1, 16)
+        np.testing.assert_allclose(out[0, 0], 0.28209479, rtol=1e-5)
+
+    def test_orthonormality(self):
+        # SH basis integrated over the sphere ~ identity (Monte Carlo).
+        rng = np.random.default_rng(2)
+        d = rng.normal(size=(200000, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        y = np.asarray(sh_encoding(jnp.asarray(d), levels=3))
+        gram = 4 * np.pi * (y.T @ y) / len(d)
+        np.testing.assert_allclose(gram, np.eye(9), atol=0.05)
+
+
+class TestHashEncoding:
+    def test_shapes_and_growth(self):
+        spec = HashGridSpec(num_levels=4, base_res=16, max_res=128, log2_hashmap_size=12)
+        assert spec.resolutions[0] == 16
+        assert spec.resolutions[-1] == 128
+        key = jax.random.PRNGKey(0)
+        table = init_hash_table(key, spec)
+        out = hash_encode(table, jnp.asarray([[0.5, 0.5, 0.5]]), spec)
+        assert out.shape == (1, spec.out_dim)
+
+    def test_trilinear_interpolation_consistency(self):
+        # Feature at a grid vertex == table entry; midpoints interpolate.
+        spec = HashGridSpec(num_levels=1, base_res=4, max_res=4, log2_hashmap_size=10)
+        key = jax.random.PRNGKey(1)
+        table = init_hash_table(key, spec)
+        # A point exactly on a vertex of the level-0 grid: scale=3, pos=p*3+0.5
+        # vertex at integer k means p = (k-0.5)/3... pick p mapping to pos=2.0.
+        p = jnp.asarray([[(2.0 - 0.5) / 3.0] * 3])
+        out = hash_encode(table, p, spec)
+        res = int(spec.resolutions[0])
+        vidx = 2 + 2 * res + 2 * res * res
+        np.testing.assert_allclose(
+            np.asarray(out)[0], np.asarray(table)[0, vidx], rtol=1e-5
+        )
+
+    def test_gradient_flows_to_table(self):
+        spec = HashGridSpec(num_levels=2, base_res=4, max_res=8, log2_hashmap_size=8)
+        table = init_hash_table(jax.random.PRNGKey(2), spec)
+        p = jax.random.uniform(jax.random.PRNGKey(3), (32, 3))
+        g = jax.grad(lambda t: jnp.sum(hash_encode(t, p, spec) ** 2))(table)
+        assert np.asarray(jnp.abs(g)).sum() > 0
+
+    def test_continuity_across_cells(self):
+        spec = HashGridSpec(num_levels=8, base_res=16, max_res=512, log2_hashmap_size=14)
+        table = init_hash_table(jax.random.PRNGKey(4), spec)
+        p = jnp.asarray([[0.3, 0.4, 0.5]])
+        eps = 1e-6
+        a = hash_encode(table, p, spec)
+        b = hash_encode(table, p + eps, spec)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+class TestRendering:
+    def _segs(self, R=4, S=8):
+        rng = np.random.default_rng(3)
+        t = np.sort(rng.uniform(0.1, 5.0, size=(R, S + 1)), axis=-1)
+        starts = jnp.asarray(t[:, :-1, None], jnp.float32)
+        ends = jnp.asarray(t[:, 1:, None], jnp.float32)
+        density = jnp.asarray(rng.uniform(0, 3, size=(R, S, 1)), jnp.float32)
+        return density, starts, ends
+
+    def test_weights_sum_leq_one(self):
+        density, starts, ends = self._segs()
+        w = render_weights(density, starts, ends)
+        acc = np.asarray(render_accumulation(w))
+        assert np.all(acc <= 1.0 + 1e-5) and np.all(acc >= 0.0)
+
+    def test_opaque_ray_first_sample(self):
+        # A huge density in the first sample should dominate.
+        density = jnp.zeros((1, 4, 1)).at[0, 0, 0].set(1e4)
+        starts = jnp.arange(4.0).reshape(1, 4, 1)
+        ends = starts + 1.0
+        w = np.asarray(render_weights(density, starts, ends))
+        np.testing.assert_allclose(w[0, 0, 0], 1.0, rtol=1e-5)
+        np.testing.assert_allclose(w[0, 1:, 0], 0.0, atol=1e-6)
+
+    def test_thermal_last_sample_background(self):
+        # Zero density -> output equals the last sample's thermal value.
+        density = jnp.zeros((2, 4, 1))
+        starts = jnp.broadcast_to(jnp.arange(4.0).reshape(1, 4, 1), (2, 4, 1))
+        ends = starts + 1.0
+        w = render_weights(density, starts, ends)
+        thermal = jnp.asarray(
+            np.random.default_rng(4).uniform(size=(2, 4, 1)), jnp.float32
+        )
+        out = np.asarray(render_thermal(thermal, w, train=True))
+        np.testing.assert_allclose(out, np.asarray(thermal)[:, -1], rtol=1e-5)
+
+    def test_rgb_backgrounds(self):
+        density, starts, ends = self._segs(R=2, S=4)
+        w = render_weights(density, starts, ends)
+        rgb = jnp.asarray(np.random.default_rng(5).uniform(size=(2, 4, 3)), jnp.float32)
+        comp = np.asarray(render_rgb(rgb, w, background="black"))
+        white = np.asarray(render_rgb(rgb, w, background="white"))
+        acc = np.asarray(render_accumulation(w))
+        np.testing.assert_allclose(white, comp + (1 - acc), rtol=1e-5)
+
+    def test_depth_median_and_expected(self):
+        # Single opaque sample at known depth.
+        density = jnp.zeros((1, 8, 1)).at[0, 3, 0].set(1e5)
+        starts = jnp.arange(8.0).reshape(1, 8, 1)
+        ends = starts + 1.0
+        w = render_weights(density, starts, ends)
+        med = float(render_depth_median(w, starts, ends)[0, 0])
+        exp = float(render_depth_expected(w, starts, ends)[0, 0])
+        assert abs(med - 3.5) < 1e-4
+        assert abs(exp - 3.5) < 1e-3
+
+    def test_eval_clamps(self):
+        density, starts, ends = self._segs(R=1, S=4)
+        w = render_weights(density, starts, ends)
+        thermal = jnp.full((1, 4, 1), 3.0)
+        out = np.asarray(render_thermal(thermal, w, train=False))
+        assert np.all(out <= 1.0)
+
+
+class TestSamplers:
+    def test_piecewise_spacing_roundtrip(self):
+        t = jnp.asarray([0.05, 0.5, 1.0, 10.0, 1000.0])
+        s = spacing_piecewise(t)
+        np.testing.assert_allclose(np.asarray(spacing_piecewise_inv(s)), np.asarray(t), rtol=1e-4)
+
+    def test_spaced_sampler_bounds(self):
+        near = jnp.full((8, 1), 0.05)
+        far = jnp.full((8, 1), 1000.0)
+        seg = sample_spaced(jax.random.PRNGKey(0), near, far, 32, train=True)
+        t = np.asarray(seg.tbins)
+        assert t.shape == (8, 33)
+        assert np.all(np.diff(t, axis=-1) >= 0)
+        assert np.all(t >= 0.05 - 1e-5) and np.all(t <= 1000.0 + 1e-2)
+
+    def test_spaced_sampler_eval_deterministic(self):
+        near = jnp.full((4, 1), 0.05)
+        far = jnp.full((4, 1), 100.0)
+        a = sample_spaced(None, near, far, 16, train=False)
+        b = sample_spaced(None, near, far, 16, train=False)
+        np.testing.assert_array_equal(np.asarray(a.tbins), np.asarray(b.tbins))
+
+    def test_pdf_concentrates_samples(self):
+        # Weights peaked in one bin -> resampled bins cluster there.
+        R, S = 4, 32
+        near = jnp.full((R, 1), 1.0)
+        far = jnp.full((R, 1), 2.0)
+        seg = sample_spaced(None, near, far, S, spacing="uniform", train=False)
+        w = np.full((R, S, 1), 1e-4, np.float32)
+        w[:, 10, 0] = 10.0  # peak
+        new = sample_pdf(
+            jax.random.PRNGKey(1), seg, jnp.asarray(w), near, far, 16,
+            spacing="uniform", train=True,
+        )
+        mids = np.asarray((new.tbins[:, 1:] + new.tbins[:, :-1]) / 2)
+        peak_t = np.asarray((seg.tbins[:, 10] + seg.tbins[:, 11]) / 2)
+        frac_near_peak = np.mean(np.abs(mids - peak_t[:, None]) < 0.1)
+        assert frac_near_peak > 0.5
+
+    def test_anneal_and_update_schedule(self):
+        cfg = ProposalSamplerConfig()
+        assert float(proposal_anneal(jnp.asarray(0.0), cfg)) == 0.0
+        np.testing.assert_allclose(float(proposal_anneal(jnp.asarray(1000.0), cfg)), 1.0)
+        np.testing.assert_allclose(float(proposal_update_schedule(jnp.asarray(0.0), cfg)), 1.0)
+        np.testing.assert_allclose(
+            float(proposal_update_schedule(jnp.asarray(5000.0), cfg)), 5.0
+        )
+
+    def test_proposal_sampler_end_to_end(self):
+        cfg = ProposalSamplerConfig(
+            num_nerf_samples_per_ray=8, num_proposal_samples_per_ray=(16, 12)
+        )
+        R = 8
+        origins = jnp.zeros((R, 3))
+        directions = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (R, 1)), jnp.float32)
+        near = jnp.full((R, 1), 0.05)
+        far = jnp.full((R, 1), 100.0)
+        density_fns = [
+            lambda p: jnp.ones((*p.shape[:-1], 1)) * 0.1,
+            lambda p: jnp.ones((*p.shape[:-1], 1)) * 0.1,
+        ]
+        out = proposal_sample(
+            jax.random.PRNGKey(2), density_fns, origins, directions, near, far, cfg,
+            anneal=0.5, train=True,
+        )
+        assert out.final.tbins.shape == (R, 9)
+        assert out.prop_segments[0].tbins.shape == (R, 17)
+        assert out.prop_weights[1].shape == (R, 12, 1)
+        assert np.all(np.diff(np.asarray(out.final.tbins), axis=-1) >= 0)
+
+
+class TestLosses:
+    def test_mse(self):
+        np.testing.assert_allclose(
+            float(mse(jnp.ones((4, 3)), jnp.zeros((4, 3)))), 1.0
+        )
+
+    def test_interlevel_zero_when_prop_covers(self):
+        # If the proposal histogram has all its mass exactly where the final
+        # has mass, the outer bound >= final weights -> zero loss.
+        R, S = 2, 8
+        bins = jnp.broadcast_to(jnp.linspace(0, 1, S + 1), (R, S + 1))
+        w = jnp.full((R, S, 1), 1.0 / S)
+        loss = interlevel_loss(bins, w, [bins], [w])
+        np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)
+
+    def test_interlevel_positive_on_mismatch(self):
+        R, S = 2, 8
+        bins = jnp.broadcast_to(jnp.linspace(0, 1, S + 1), (R, S + 1))
+        w_final = jnp.full((R, S, 1), 1.0 / S)
+        w_prop = jnp.zeros((R, S, 1))  # proposal says "nothing anywhere"
+        loss = interlevel_loss(bins, w_final, [bins], [w_prop])
+        assert float(loss) > 0
+
+    def test_distortion_decreases_with_concentration(self):
+        R, S = 1, 16
+        bins = jnp.broadcast_to(jnp.linspace(0, 1, S + 1), (R, S + 1))
+        spread = jnp.full((R, S), 1.0 / S)
+        concentrated = jnp.zeros((R, S)).at[:, 7].set(1.0)
+        l_spread = float(jnp.mean(lossfun_distortion(bins, spread)))
+        l_conc = float(jnp.mean(lossfun_distortion(bins, concentrated)))
+        assert l_conc < l_spread
+
+    def test_distortion_loss_api(self):
+        R, S = 3, 8
+        bins = jnp.broadcast_to(jnp.linspace(0, 1, S + 1), (R, S + 1))
+        w = jnp.full((R, S, 1), 0.1)
+        assert float(distortion_loss(bins, w)) > 0

@@ -1,0 +1,123 @@
+"""Per-method TrainerConfig presets.
+
+Mirror of the reference's method registry (selected by ModelType,
+train_eval_script.py:57-78):
+  * ``thermal-nerf``    — config_thermal_nerf.py:17-48 (ThermalNerfModel,
+                          thermal dataparser, no camera-opt group).
+  * ``nerfacto-track``  — config_nerfacto.py:14-53 (plain nerfacto on
+                          thermal-as-RGB data; camera-opt Adam 6e-4,
+                          eps 1e-8, wd 1e-2 -> 6e-6 over 200k).
+  * ``concat_nerf``     — config_concat_nerfacto.py:18-56 (RGBT head;
+                          camera-opt group lr 1e-3 -> 1e-4 over 5k).
+  * ``thermal-nerf-tiny`` — CPU-runnable reference config (BASELINE.json
+                          config #1): tiny hash grids, 1k iters.
+"""
+
+from __future__ import annotations
+
+from thermo_tpu.configs.base import OptimizerGroupConfig, TrainerConfig
+from thermo_tpu.data.dataparser import DataparserConfig
+from thermo_tpu.models.thermal_nerf import ModelConfig, ProposalNetArgs
+
+
+def thermal_nerf_config() -> TrainerConfig:
+    return TrainerConfig(
+        method_name="thermal-nerf",
+        steps_per_eval_batch=500,
+        steps_per_save=2000,
+        max_num_iterations=30000,
+        mixed_precision=True,
+        train_num_rays_per_batch=4096,
+        eval_num_rays_per_batch=4096,
+        eval_num_rays_per_chunk=1 << 16,
+        model=ModelConfig(mode="thermal"),
+        dataparser=DataparserConfig(eval_mode="filename"),
+        optimizers={
+            "proposal_networks": OptimizerGroupConfig(
+                lr=1e-2, eps=1e-15, lr_final=1e-4, max_steps=200000
+            ),
+            "fields": OptimizerGroupConfig(
+                lr=1e-2, eps=1e-15, lr_final=1e-4, max_steps=200000
+            ),
+        },
+    )
+
+
+def thermalnerfacto_config() -> TrainerConfig:
+    return TrainerConfig(
+        method_name="nerfacto-track",
+        steps_per_eval_batch=500,
+        steps_per_save=2000,
+        max_num_iterations=30000,
+        mixed_precision=True,
+        eval_num_rays_per_chunk=1 << 15,
+        model=ModelConfig(mode="rgb"),
+        dataparser=DataparserConfig(eval_mode="filename"),
+        optimizers={
+            "proposal_networks": OptimizerGroupConfig(
+                lr=1e-2, eps=1e-15, lr_final=1e-4, max_steps=200000
+            ),
+            "fields": OptimizerGroupConfig(
+                lr=1e-2, eps=1e-15, lr_final=1e-4, max_steps=200000
+            ),
+            "camera_opt": OptimizerGroupConfig(
+                lr=6e-4, eps=1e-8, weight_decay=1e-2, lr_final=6e-6, max_steps=200000
+            ),
+        },
+    )
+
+
+def concat_nerf_config() -> TrainerConfig:
+    return TrainerConfig(
+        method_name="concat_nerf",
+        steps_per_eval_batch=500,
+        steps_per_save=2000,
+        max_num_iterations=30000,
+        mixed_precision=True,
+        eval_num_rays_per_chunk=1 << 16,
+        model=ModelConfig(mode="concat"),
+        dataparser=DataparserConfig(eval_mode="filename"),
+        optimizers={
+            "proposal_networks": OptimizerGroupConfig(
+                lr=1e-2, eps=1e-15, lr_final=1e-4, max_steps=200000
+            ),
+            "fields": OptimizerGroupConfig(
+                lr=1e-2, eps=1e-15, lr_final=1e-4, max_steps=200000
+            ),
+            "camera_opt": OptimizerGroupConfig(
+                lr=1e-3, eps=1e-15, lr_final=1e-4, max_steps=5000
+            ),
+        },
+    )
+
+
+def thermal_nerf_tiny_config() -> TrainerConfig:
+    """CPU-runnable tiny config (BASELINE.json config #1)."""
+    cfg = thermal_nerf_config()
+    cfg.method_name = "thermal-nerf-tiny"
+    cfg.max_num_iterations = 1000
+    cfg.train_num_rays_per_batch = 256
+    cfg.eval_num_rays_per_chunk = 1 << 12
+    cfg.mixed_precision = False
+    cfg.model = ModelConfig(
+        mode="thermal",
+        num_levels=8,
+        max_res=256,
+        log2_hashmap_size=15,
+        num_proposal_samples_per_ray=(64, 32),
+        num_nerf_samples_per_ray=24,
+        proposal_net_args_list=(
+            ProposalNetArgs(num_levels=4, max_res=64, log2_hashmap_size=13),
+            ProposalNetArgs(num_levels=4, max_res=128, log2_hashmap_size=13),
+        ),
+        compute_dtype="float32",
+    )
+    return cfg
+
+
+METHOD_CONFIGS = {
+    "thermal-nerf": thermal_nerf_config,
+    "nerfacto-track": thermalnerfacto_config,
+    "concat_nerf": concat_nerf_config,
+    "thermal-nerf-tiny": thermal_nerf_tiny_config,
+}

@@ -1,0 +1,294 @@
+"""Jitted training loop.
+
+TPU-native equivalent of the nerfstudio Trainer + VanillaPipeline +
+VanillaDataManager stack the reference inherits (SURVEY §3.1), redesigned for
+XLA's compilation model instead of translated:
+
+  * The ENTIRE train step is one jitted function: device-side pixel
+    sampling (jax.random over the HBM-resident image stack), device-side
+    ray generation, proposal sampling, field eval, compositing, losses,
+    gradients, and optax updates. Zero host<->device transfers in steady
+    state; ``steps_per_jit_loop`` steps are lax.scan'd per host dispatch.
+  * Mixed precision is bf16 compute dtype (no GradScaler — bf16 has fp32
+    range, unlike the reference's fp16 AMP, pipeline_tracking.py:7).
+  * Data parallelism: ray batches sharded over a 1-D ("data",) jax mesh via
+    sharding constraints; XLA inserts the gradient all-reduce over ICI and
+    overlaps it with the backward pass (replaces the reference's unused
+    torch DDP plumbing, SURVEY §2c).
+
+The proposal-network update schedule (steps_since_update gating,
+thermal_nerf_model.py:152-161 + nerfstudio ProposalNetworkSampler) is kept
+branch-free inside jit with a traced multiplicative gradient gate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from thermo_tpu.configs.base import TrainerConfig
+from thermo_tpu.data.cameras import Cameras, RayBundle, generate_rays
+from thermo_tpu.engine.optimizers import make_optimizer
+from thermo_tpu.models.thermal_nerf import ThermoNerfModel
+from thermo_tpu.ops.samplers import proposal_update_schedule
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: Array  # int32 scalar
+    steps_since_update: Array  # int32 scalar
+    rng: Array
+
+
+def create_train_state(
+    model: ThermoNerfModel, config: TrainerConfig, rng: jax.Array
+) -> tuple[TrainState, optax.GradientTransformation]:
+    params = model.init_params(rng)
+    tx = make_optimizer(config.optimizers, params)
+    opt_state = tx.init(params)
+    state = TrainState(
+        params=params,
+        opt_state=opt_state,
+        step=jnp.asarray(0, jnp.int32),
+        steps_since_update=jnp.asarray(0, jnp.int32),
+        rng=jax.random.fold_in(rng, 1),
+    )
+    return state, tx
+
+
+def make_train_step(
+    model: ThermoNerfModel,
+    tx: optax.GradientTransformation,
+    config: TrainerConfig,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Build the jitted multi-step train function.
+
+    Returns ``fn(state, images_u8, thermal_u8, cameras) -> (state, metrics)``
+    running ``config.steps_per_jit_loop`` optimizer steps per call, with
+    metrics averaged over the scanned steps. ``thermal_u8`` may be a
+    zero-size placeholder for the rgb mode.
+    """
+    num_rays = config.train_num_rays_per_batch
+    concat = model.config.mode == "concat"
+    use_thermal_gt = model.config.mode in ("thermal", "concat")
+    data_spec = P("data") if mesh is not None else None
+
+    def shard(x):
+        if mesh is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+
+    def one_step(carry, _, images, thermal, cameras: Cameras):
+        state: TrainState = carry
+        rng, k_img, k_y, k_x, k_fwd, k_bg = jax.random.split(state.rng, 6)
+        n, h, w = images.shape[0], images.shape[1], images.shape[2]
+
+        img = jax.random.randint(k_img, (num_rays,), 0, n)
+        py = jax.random.randint(k_y, (num_rays,), 0, h)
+        px = jax.random.randint(k_x, (num_rays,), 0, w)
+        img, py, px = shard(img), shard(py), shard(px)
+
+        gt_rgb = images[img, py, px].astype(jnp.float32) / 255.0
+        gt_thermal = (
+            thermal[img, py, px].astype(jnp.float32) / 255.0
+            if use_thermal_gt
+            else None
+        )
+        rays = generate_rays(cameras, img, py, px)
+        rays = RayBundle(*(shard(r) for r in rays))
+
+        sched = proposal_update_schedule(
+            state.step.astype(jnp.float32), model.sampler_cfg
+        )
+        updated = (state.steps_since_update.astype(jnp.float32) > sched) | (
+            state.step < 10
+        )
+        flag = updated.astype(jnp.float32)
+
+        def loss_fn(params):
+            out = model.forward(
+                params,
+                rays,
+                k_fwd,
+                step=state.step.astype(jnp.float32),
+                prop_grad_flag=flag,
+                train=True,
+            )
+            gt = (
+                jnp.concatenate([gt_rgb, gt_thermal], axis=-1) if concat else gt_rgb
+            )
+            total, metrics = model.losses(params, out, gt, gt_thermal, rng=k_bg)
+            return total, metrics
+
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_ssu = jnp.where(updated, 0, state.steps_since_update) + 1
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            steps_since_update=new_ssu,
+            rng=rng,
+        )
+        metrics = dict(metrics)
+        metrics["total_loss"] = total
+        return new_state, metrics
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_steps(state, images, thermal, cameras):
+        step_fn = partial(
+            one_step, images=images, thermal=thermal, cameras=cameras
+        )
+        state, metrics = jax.lax.scan(
+            step_fn, state, None, length=config.steps_per_jit_loop
+        )
+        return state, {k: jnp.mean(v) for k, v in metrics.items()}
+
+    return train_steps
+
+
+def make_render_fn(
+    model: ThermoNerfModel,
+    chunk_size: int,
+    apply_camera_opt: bool = False,
+) -> Callable:
+    """Chunked eval renderer (model.get_outputs_for_camera_ray_bundle
+    equivalent: eval chunk 2^16, config_thermal_nerf.py:30).
+
+    Returns ``fn(params, cameras, camera_index, height, width) -> dict`` of
+    full-image [H, W, C] numpy arrays. The per-chunk forward is jitted once
+    (static chunk size, padded final chunk).
+    """
+
+    @jax.jit
+    def render_chunk(params, cameras, cam_idx, py, px):
+        rays = generate_rays(cameras, cam_idx, py, px)
+        return model.forward(
+            params, rays, None, train=False, apply_camera_opt=apply_camera_opt
+        )
+
+    def render_image(params, cameras: Cameras, camera_index: int, height: int, width: int):
+        yy, xx = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+        py = yy.reshape(-1).astype(np.int32)
+        px = xx.reshape(-1).astype(np.int32)
+        total = py.size
+        outs: dict[str, list[np.ndarray]] = {}
+        for start in range(0, total, chunk_size):
+            end = min(start + chunk_size, total)
+            pad = chunk_size - (end - start)
+            cy = np.pad(py[start:end], (0, pad), mode="edge")
+            cx = np.pad(px[start:end], (0, pad), mode="edge")
+            idx = jnp.full((chunk_size,), camera_index, jnp.int32)
+            out = render_chunk(params, cameras, idx, jnp.asarray(cy), jnp.asarray(cx))
+            for k, v in out.items():
+                if k.startswith("_"):
+                    continue
+                arr = np.asarray(v)[: end - start]
+                outs.setdefault(k, []).append(arr)
+        return {
+            k: np.concatenate(v).reshape(height, width, -1) for k, v in outs.items()
+        }
+
+    return render_image
+
+
+@dataclasses.dataclass
+class TrainLog:
+    step: int
+    metrics: dict[str, float]
+    rays_per_sec: float
+
+
+class Trainer:
+    """Host-side training orchestrator (nerfstudio Trainer equivalent):
+    owns the device data, drives the jitted step loop, periodic eval batches,
+    checkpointing, and metric logging."""
+
+    def __init__(
+        self,
+        config: TrainerConfig,
+        model: ThermoNerfModel,
+        cameras: Cameras,
+        images_u8: np.ndarray,
+        thermal_u8: Optional[np.ndarray],
+        mesh: Optional[Mesh] = None,
+        log_fn: Optional[Callable[[TrainLog], None]] = None,
+    ):
+        self.config = config
+        self.model = model
+        self.mesh = mesh
+        self.log_fn = log_fn
+        self.cameras = cameras
+        self.images = jnp.asarray(images_u8)
+        if thermal_u8 is not None:
+            self.thermal = jnp.asarray(thermal_u8)
+        else:
+            # zero-size placeholder keeps the step signature static
+            self.thermal = jnp.zeros((*images_u8.shape[:3], 1), jnp.uint8)
+
+        rng = jax.random.PRNGKey(config.seed)
+        self.state, self.tx = create_train_state(model, config, rng)
+        self.train_steps = make_train_step(model, self.tx, config, mesh)
+        self.logs: list[TrainLog] = []
+
+    @property
+    def step(self) -> int:
+        return int(self.state.step)
+
+    def train(
+        self,
+        max_iterations: Optional[int] = None,
+        checkpoint_cb: Optional[Callable[[int, TrainState], None]] = None,
+    ) -> list[TrainLog]:
+        cfg = self.config
+        max_iters = max_iterations or cfg.max_num_iterations
+        loop = cfg.steps_per_jit_loop
+        log_every = max(1, int(round(1.0 / max(cfg.metrics_logging_frequency, 1e-9))))
+        next_log = log_every
+        last_save = self.step
+
+        while self.step < max_iters:
+            t0 = time.perf_counter()
+            self.state, metrics = self.train_steps(
+                self.state, self.images, self.thermal, self.cameras
+            )
+            jax.block_until_ready(self.state.step)
+            dt = time.perf_counter() - t0
+            step = self.step
+            rays_per_sec = cfg.train_num_rays_per_batch * loop / dt
+
+            if step >= next_log or step >= max_iters:
+                log = TrainLog(
+                    step=step,
+                    metrics={k: float(v) for k, v in metrics.items()},
+                    rays_per_sec=rays_per_sec,
+                )
+                self.logs.append(log)
+                if self.log_fn is not None:
+                    self.log_fn(log)
+                next_log = step + log_every
+
+            if checkpoint_cb is not None and (
+                step - last_save >= cfg.steps_per_save or step >= max_iters
+            ):
+                checkpoint_cb(step, self.state)
+                last_save = step
+        return self.logs

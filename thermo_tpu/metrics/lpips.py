@@ -1,0 +1,131 @@
+"""LPIPS (Learned Perceptual Image Patch Similarity), AlexNet backbone.
+
+The reference uses torchmetrics' LPIPS with pretrained AlexNet
+(thermal_nerf_model.py:33,202,384; normalize=True). Pretrained weights
+cannot be downloaded in a zero-egress TPU environment, so this module
+implements the exact LPIPS-alex architecture in JAX and loads weights from
+an ``.npz`` file when available (documented metric substitution, SURVEY §7):
+
+  * convert once, anywhere with torch+lpips installed:
+      ``python -m thermo_tpu.metrics.lpips export /path/lpips_alex.npz``
+  * point ``THERMO_TPU_LPIPS_WEIGHTS`` at the file (or pass ``weights_path``).
+
+Without weights, ``lpips_fn()`` returns None and evaluators omit the metric
+(metrics.json simply lacks the lpips keys).
+
+Expected npz keys: ``features.{0,3,6,8,10}.{weight,bias}`` (AlexNet convs,
+OIHW) and ``lins.{0..4}.weight`` (1x1 LPIPS heads), the standard
+richzhang/PerceptualSimilarity parameterization.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+# AlexNet feature extraction config: (out_ch, kernel, stride, padding)
+_ALEX_CONVS = [
+    (64, 11, 4, 2),
+    (192, 5, 1, 2),
+    (384, 3, 1, 1),
+    (256, 3, 1, 1),
+    (256, 3, 1, 1),
+]
+_CONV_KEYS = [0, 3, 6, 8, 10]
+# Max-pool after conv indices 0, 1 (and 4 in torchvision, but LPIPS taps
+# activations before that pool).
+_POOL_AFTER = {0, 1}
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def _load_weights(path: Path) -> dict:
+    data = np.load(path)
+    return {k: np.asarray(data[k]) for k in data.files}
+
+
+def lpips_fn(
+    weights_path: Optional[str] = None,
+) -> Optional[Callable[[Array, Array], Array]]:
+    """Build the LPIPS distance function, or None when weights are absent.
+
+    The returned fn takes two [H, W, 3] images in [0, 1] (normalize=True
+    semantics) and returns a scalar distance.
+    """
+    path = weights_path or os.environ.get("THERMO_TPU_LPIPS_WEIGHTS")
+    if not path or not Path(path).exists():
+        return None
+    w = _load_weights(Path(path))
+
+    def alex_features(x: Array) -> list[Array]:
+        # x: [1, H, W, 3] in [-1, 1]
+        x = (x - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
+        feats = []
+        for i, (out_ch, k, s, p) in enumerate(_ALEX_CONVS):
+            kernel = jnp.asarray(w[f"features.{_CONV_KEYS[i]}.weight"])  # OIHW
+            bias = jnp.asarray(w[f"features.{_CONV_KEYS[i]}.bias"])
+            kernel = jnp.transpose(kernel, (2, 3, 1, 0))  # HWIO
+            x = jax.lax.conv_general_dilated(
+                x, kernel, (s, s), [(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias
+            x = jax.nn.relu(x)
+            feats.append(x)
+            if i in _POOL_AFTER:
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+                )
+        return feats
+
+    def distance(img0: Array, img1: Array) -> Array:
+        a = img0[None] * 2.0 - 1.0
+        b = img1[None] * 2.0 - 1.0
+        fa, fb = alex_features(a), alex_features(b)
+        total = 0.0
+        for i, (x, y) in enumerate(zip(fa, fb)):
+            xn = x / jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True) + 1e-10)
+            yn = y / jnp.sqrt(jnp.sum(y**2, axis=-1, keepdims=True) + 1e-10)
+            diff = (xn - yn) ** 2
+            lin = jnp.asarray(w[f"lins.{i}.weight"]).reshape(-1)  # [C]
+            # 1x1 conv with non-negative weights, then spatial mean
+            total = total + jnp.mean(jnp.sum(diff * lin, axis=-1))
+        return total
+
+    return jax.jit(distance)
+
+
+def export_from_torch(out_path: str) -> None:  # pragma: no cover
+    """Helper to run OUTSIDE this environment (needs torch + lpips pip pkg)."""
+    import lpips as lpips_pkg  # type: ignore
+
+    net = lpips_pkg.LPIPS(net="alex")
+    out = {}
+    alex = net.net.slice1  # noqa: F841 — structure varies; use state_dict walk
+    sd = net.state_dict()
+    # torchvision alexnet features inside lpips: net.net.(slices); lins.N.model.1.weight
+    conv_i = 0
+    for k, v in sd.items():
+        if ".model.1.weight" in k and k.startswith("lin"):
+            idx = int(k.split(".")[0][3:])
+            out[f"lins.{idx}.weight"] = v.detach().numpy()
+        if "net." in k and k.endswith("weight") and v.ndim == 4:
+            out[f"features.{_CONV_KEYS[conv_i]}.weight"] = v.detach().numpy()
+            conv_i += 1
+        if "net." in k and k.endswith("bias") and v.ndim == 1:
+            ci = conv_i - 1
+            out[f"features.{_CONV_KEYS[ci]}.bias"] = v.detach().numpy()
+    np.savez(out_path, **out)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    import sys
+
+    if len(sys.argv) == 3 and sys.argv[1] == "export":
+        export_from_torch(sys.argv[2])

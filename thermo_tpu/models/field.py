@@ -1,0 +1,264 @@
+"""Radiance + thermal fields.
+
+TPU-native equivalents of:
+  * nerfstudio ``fields/nerfacto_field.py`` NerfactoField (hash grid ->
+    density trunk -> geo features; SH direction encoding + appearance
+    embedding -> color head),
+  * thermo_nerf/thermal_nerf/thermal_field.py ``ThermalNerfactoTField``
+    (adds a view-independent thermal branch: MLP 2x64 ReLU with Sigmoid
+    output -> Linear 64->1 with NO activation, thermal_field.py:90-102 and
+    thermal_field_head.py:21-51; gradient gate ``pass_thermal_gradients``
+    via stop_gradient, thermal_field.py:171-173),
+  * thermo_nerf/rgb_concat/concat_field.py ``ConcatNerfactoTField`` (color
+    head widened to 4 outputs = RGBT, Sigmoid).
+
+Flax modules over the pure ops in ``thermo_tpu.ops``; parameters are plain
+pytrees so the trainer can shard/label them (group "fields").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from thermo_tpu.models.mlp import MLP
+from thermo_tpu.ops.contraction import contract_to_unit_cube, normalize_with_aabb
+from thermo_tpu.ops.hash_encoding import HashGridSpec, hash_encode
+from thermo_tpu.ops.math import normalize, trunc_exp
+from thermo_tpu.ops.sh import sh_dim, sh_encoding
+
+
+class HashEncoding(nn.Module):
+    """Parameter holder for one multires hash table."""
+
+    spec: HashGridSpec
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, positions: Array) -> Array:
+        table = self.param(
+            "table",
+            lambda key: jax.random.uniform(
+                key,
+                (self.spec.num_levels, self.spec.table_size, self.spec.features_per_level),
+                dtype=self.param_dtype,
+                minval=-1e-4,
+                maxval=1e-4,
+            ),
+        )
+        return hash_encode(table, positions, self.spec)
+
+
+class ThermalNerfactoField(nn.Module):
+    """Shared-density field with RGB and thermal heads.
+
+    ``mode``:
+      * "thermal": separate RGB (3, view-dependent) and thermal (1,
+        view-independent) heads — ThermalNerfactoTField.
+      * "rgb": RGB head only — plain NerfactoField (nerfacto / thermal-as-RGB
+        baseline).
+      * "concat": single 4-channel RGBT head — ConcatNerfactoTField.
+    """
+
+    aabb: tuple  # ((xmin,ymin,zmin),(xmax,ymax,zmax)); static
+    num_images: int
+    mode: str = "thermal"
+    num_layers: int = 2
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    num_levels: int = 16
+    base_res: int = 16
+    max_res: int = 2048
+    log2_hashmap_size: int = 19
+    num_layers_color: int = 3
+    features_per_level: int = 2
+    hidden_dim_color: int = 64
+    hidden_dim_thermal: int = 64  # reference reuses hidden_dim_transient=64
+    appearance_embedding_dim: int = 32
+    use_average_appearance_embedding: bool = True
+    use_contraction: bool = True
+    average_init_density: float = 1.0
+    sh_levels: int = 4
+    pass_thermal_gradients: bool = True
+    pass_rgb_gradients: bool = True  # thermal_field.py:106 (always True)
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.grid = HashEncoding(
+            spec=HashGridSpec(
+                num_levels=self.num_levels,
+                features_per_level=self.features_per_level,
+                log2_hashmap_size=self.log2_hashmap_size,
+                base_res=self.base_res,
+                max_res=self.max_res,
+            )
+        )
+        self.mlp_base = MLP(
+            num_layers=self.num_layers,
+            layer_width=self.hidden_dim,
+            out_dim=1 + self.geo_feat_dim,
+            compute_dtype=self.compute_dtype,
+        )
+        if self.mode in ("thermal", "rgb"):
+            head_out = 3
+        elif self.mode == "concat":
+            head_out = 4
+        else:
+            raise ValueError(f"unknown field mode {self.mode!r}")
+        self.mlp_head = MLP(
+            num_layers=self.num_layers_color,
+            layer_width=self.hidden_dim_color,
+            out_dim=head_out,
+            out_activation=nn.sigmoid,
+            compute_dtype=self.compute_dtype,
+        )
+        if self.appearance_embedding_dim > 0:
+            self.embedding_appearance = nn.Embed(
+                self.num_images, self.appearance_embedding_dim
+            )
+        if self.mode == "thermal":
+            # thermal_field.py:90-98 — 2 layers x 64, ReLU, Sigmoid OUTPUT
+            # activation on the 64-dim feature...
+            self.mlp_thermal = MLP(
+                num_layers=2,
+                layer_width=64,
+                out_dim=self.hidden_dim_thermal,
+                out_activation=nn.sigmoid,
+                compute_dtype=self.compute_dtype,
+            )
+            # ...then a single Linear 64 -> 1 with NO activation
+            # (thermal_field_head.py:21-51).
+            self.thermal_head = nn.Dense(1, dtype=self.compute_dtype)
+
+    def _normalize_positions(self, positions: Array) -> tuple[Array, Array]:
+        """World positions -> [0,1]^3 grid coords + in-bounds selector."""
+        if self.use_contraction:
+            p = contract_to_unit_cube(positions)
+        else:
+            p = normalize_with_aabb(positions, jnp.asarray(self.aabb, jnp.float32))
+        selector = jnp.all((p > 0.0) & (p < 1.0), axis=-1)
+        p = p * selector[..., None]
+        return p, selector
+
+    def get_density(self, positions: Array) -> tuple[Array, Array]:
+        """positions [..., 3] world -> (density [..., 1] f32, geo_feat [..., G])."""
+        p, selector = self._normalize_positions(positions)
+        feats = self.grid(p)
+        h = self.mlp_base(feats)
+        density_before = h[..., :1].astype(jnp.float32)
+        geo_feat = h[..., 1:]
+        density = self.average_init_density * trunc_exp(density_before)
+        density = density * selector[..., None].astype(density.dtype)
+        return density, geo_feat
+
+    def get_head_outputs(
+        self,
+        geo_feat: Array,
+        directions: Array,
+        camera_indices: Array,
+        train: bool = True,
+    ) -> dict[str, Array]:
+        """geo_feat [..., G]; directions [..., 3] (unit); camera_indices
+        [...] int32 (per ray/sample). Returns dict of head outputs in f32."""
+        d = sh_encoding(normalize(directions), self.sh_levels).astype(
+            self.compute_dtype
+        )
+
+        if self.appearance_embedding_dim > 0:
+            if train:
+                embedded = self.embedding_appearance(camera_indices)
+            else:
+                table = self.embedding_appearance.embedding
+                if self.use_average_appearance_embedding:
+                    mean = jnp.mean(table, axis=0)
+                else:
+                    mean = jnp.zeros((self.appearance_embedding_dim,), table.dtype)
+                embedded = jnp.broadcast_to(
+                    mean, (*camera_indices.shape, self.appearance_embedding_dim)
+                )
+            h = jnp.concatenate(
+                [d, geo_feat, embedded.astype(self.compute_dtype)], axis=-1
+            )
+        else:
+            h = jnp.concatenate([d, geo_feat], axis=-1)
+
+        outputs: dict[str, Array] = {}
+        head = self.mlp_head(h).astype(jnp.float32)
+        if self.mode == "concat":
+            outputs["rgbt"] = head
+        else:
+            outputs["rgb"] = head
+
+        if self.mode == "thermal":
+            thermal_input = geo_feat  # view-independent (thermal_field.py:171)
+            if not self.pass_thermal_gradients:
+                thermal_input = jax.lax.stop_gradient(thermal_input)
+            t_feat = self.mlp_thermal(thermal_input)
+            outputs["thermal"] = self.thermal_head(t_feat).astype(jnp.float32)
+        return outputs
+
+    def __call__(
+        self,
+        positions: Array,
+        directions: Array,
+        camera_indices: Array,
+        train: bool = True,
+    ) -> dict[str, Array]:
+        """Full field forward: positions/directions [..., 3]."""
+        density, geo_feat = self.get_density(positions)
+        outputs = self.get_head_outputs(geo_feat, directions, camera_indices, train)
+        outputs["density"] = density
+        return outputs
+
+
+class HashMLPDensityField(nn.Module):
+    """Proposal-net density field (nerfstudio ``fields/density_fields.py``,
+    bound at thermal_nerf_model.py:118-149). Coarse hash grid + tiny MLP -> 1
+    density; nerfacto defaults: 5 levels, 2 feats, 2^17 table, MLP 2x16."""
+
+    aabb: tuple
+    num_levels: int = 5
+    max_res: int = 128
+    base_res: int = 16
+    log2_hashmap_size: int = 17
+    features_per_level: int = 2
+    num_layers: int = 2
+    hidden_dim: int = 16
+    use_linear: bool = False
+    use_contraction: bool = True
+    average_init_density: float = 1.0
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, positions: Array) -> Array:
+        """positions [..., 3] world -> density [..., 1] f32."""
+        if self.use_contraction:
+            p = contract_to_unit_cube(positions)
+        else:
+            p = normalize_with_aabb(positions, jnp.asarray(self.aabb, jnp.float32))
+        selector = jnp.all((p > 0.0) & (p < 1.0), axis=-1)
+        p = p * selector[..., None]
+        feats = HashEncoding(
+            spec=HashGridSpec(
+                num_levels=self.num_levels,
+                features_per_level=self.features_per_level,
+                log2_hashmap_size=self.log2_hashmap_size,
+                base_res=self.base_res,
+                max_res=self.max_res,
+            )
+        )(p)
+        if self.use_linear:
+            h = nn.Dense(1, dtype=self.compute_dtype)(feats.astype(self.compute_dtype))
+        else:
+            h = MLP(
+                num_layers=self.num_layers,
+                layer_width=self.hidden_dim,
+                out_dim=1,
+                compute_dtype=self.compute_dtype,
+            )(feats)
+        density = self.average_init_density * trunc_exp(h.astype(jnp.float32))
+        return density * selector[..., None].astype(jnp.float32)

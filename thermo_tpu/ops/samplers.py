@@ -1,0 +1,295 @@
+"""Ray samplers: spaced initial sampling + PDF resampling + the hierarchical
+proposal-network sampler.
+
+TPU-native replacement for nerfstudio ``model_components/ray_samplers.py``
+(UniformSampler / UniformLinDispPiecewiseSampler / PDFSampler /
+ProposalNetworkSampler), bound by the reference at
+thermo_nerf/thermal_nerf/thermal_nerf_model.py:152-179.
+
+All samplers are pure functions over dense ``[rays, samples]`` tensors with
+STATIC sample counts — no dynamic packing — so the whole hierarchy traces
+into one XLA program. The searchsorted in PDF resampling is the batched
+compare-reduce from ``ops.math`` (VPU-friendly, no sort).
+
+Semantics preserved from the reference:
+  * piecewise spacing: s(t) = t/2 for t<1 else 1 - 1/(2t)  (uniform near,
+    1/t-spaced far).
+  * stratified jitter with ``single_jitter=True`` (one offset per ray).
+  * PDF histogram_padding=0.01, degenerate-histogram eps padding, train-time
+    stratified u with single jitter, eval-time centered u.
+  * proposal weight annealing w^anneal and the train-time
+    ``steps_since_update`` stop-gradient schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from thermo_tpu.ops.math import searchsorted, take_along_last
+from thermo_tpu.ops.rendering import render_weights
+
+
+class RaySegments(NamedTuple):
+    """Dense per-ray sample segments.
+
+    ``sbins``:  [R, S+1] bin edges in normalized spacing domain s in [0,1]
+                (nerfstudio's ``spacing_starts/ends``; the sdist used by
+                interlevel/distortion losses).
+    ``tbins``:  [R, S+1] bin edges in euclidean distance along the
+                (unit-norm) ray.
+    """
+
+    sbins: Array
+    tbins: Array
+
+    @property
+    def starts(self) -> Array:  # [R, S, 1]
+        return self.tbins[..., :-1, None]
+
+    @property
+    def ends(self) -> Array:  # [R, S, 1]
+        return self.tbins[..., 1:, None]
+
+    def positions(self, origins: Array, directions: Array) -> Array:
+        """Sample positions at segment centers, matching nerfstudio
+        ``frustums.get_positions()`` = origin + direction * (starts+ends)/2.
+        Returns [R, S, 3].
+        """
+        mids = (self.tbins[..., :-1] + self.tbins[..., 1:]) / 2.0  # [R, S]
+        return origins[..., None, :] + directions[..., None, :] * mids[..., None]
+
+
+def spacing_piecewise(t: Array) -> Array:
+    """UniformLinDispPiecewiseSampler spacing_fn."""
+    return jnp.where(t < 1.0, t / 2.0, 1.0 - 1.0 / (2.0 * jnp.maximum(t, 1e-12)))
+
+
+def spacing_piecewise_inv(s: Array) -> Array:
+    return jnp.where(s < 0.5, 2.0 * s, 1.0 / jnp.maximum(2.0 - 2.0 * s, 1e-12))
+
+
+def spacing_uniform(t: Array) -> Array:
+    return t
+
+
+def spacing_uniform_inv(s: Array) -> Array:
+    return s
+
+
+_SPACINGS = {
+    "piecewise": (spacing_piecewise, spacing_piecewise_inv),
+    "uniform": (spacing_uniform, spacing_uniform_inv),
+}
+
+
+def _stratified_bins(
+    rng: Optional[jax.Array],
+    num_rays: int,
+    num_samples: int,
+    single_jitter: bool,
+    train: bool,
+    dtype=jnp.float32,
+) -> Array:
+    """Jittered bin edges in [0, 1]; [R, S+1]. Mirrors SpacedSampler."""
+    bins = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=dtype)  # [S+1]
+    bins = jnp.broadcast_to(bins, (num_rays, num_samples + 1))
+    if train and rng is not None:
+        jitter_shape = (num_rays, 1) if single_jitter else (num_rays, num_samples + 1)
+        t_rand = jax.random.uniform(rng, jitter_shape, dtype=dtype)
+        centers = (bins[..., 1:] + bins[..., :-1]) / 2.0
+        upper = jnp.concatenate([centers, bins[..., -1:]], axis=-1)
+        lower = jnp.concatenate([bins[..., :1], centers], axis=-1)
+        bins = lower + (upper - lower) * t_rand
+    return bins
+
+
+def sample_spaced(
+    rng: Optional[jax.Array],
+    near: Array,
+    far: Array,
+    num_samples: int,
+    spacing: str = "piecewise",
+    single_jitter: bool = True,
+    train: bool = True,
+) -> RaySegments:
+    """Initial sampler (UniformLinDispPiecewiseSampler / UniformSampler).
+
+    ``near``/``far``: [R, 1] euclidean collider bounds.
+    """
+    fn, fn_inv = _SPACINGS[spacing]
+    num_rays = near.shape[0]
+    sbins = _stratified_bins(rng, num_rays, num_samples, single_jitter, train)
+    s_near, s_far = fn(near), fn(far)  # [R, 1]
+    tbins = fn_inv(sbins * s_far + (1.0 - sbins) * s_near)
+    return RaySegments(sbins=sbins, tbins=tbins)
+
+
+def sample_pdf(
+    rng: Optional[jax.Array],
+    existing: RaySegments,
+    weights: Array,
+    near: Array,
+    far: Array,
+    num_samples: int,
+    spacing: str = "piecewise",
+    single_jitter: bool = True,
+    train: bool = True,
+    histogram_padding: float = 0.01,
+) -> RaySegments:
+    """PDFSampler.generate_ray_samples (include_original=False).
+
+    ``weights``: [R, S_prev, 1] weights of the existing segments.
+    """
+    fn, fn_inv = _SPACINGS[spacing]
+    eps = 1e-5
+    num_bins = num_samples + 1
+
+    w = weights[..., 0] + histogram_padding  # [R, S_prev]
+    w_sum = jnp.sum(w, axis=-1, keepdims=True)
+    padding = jax.nn.relu(eps - w_sum)
+    w = w + padding / w.shape[-1]
+    w_sum = w_sum + padding
+    pdf = w / w_sum
+    cdf = jnp.minimum(1.0, jnp.cumsum(pdf[..., :-1], axis=-1))
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(cdf[..., :1]), cdf, jnp.ones_like(cdf[..., :1])], axis=-1
+    )  # [R, S_prev + 1] — same length as existing.sbins
+
+    u = jnp.linspace(0.0, 1.0 - 1.0 / num_bins, num_bins, dtype=cdf.dtype)
+    u = jnp.broadcast_to(u, (*cdf.shape[:-1], num_bins))
+    if train and rng is not None:
+        jitter_shape = (
+            (*cdf.shape[:-1], 1) if single_jitter else (*cdf.shape[:-1], num_bins)
+        )
+        u = u + jax.random.uniform(rng, jitter_shape, dtype=cdf.dtype) / num_bins
+    else:
+        u = u + 0.5 / num_bins
+
+    inds = searchsorted(cdf, u, side="right")  # [R, num_bins]
+    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
+    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
+    cdf_g0 = take_along_last(cdf, below)
+    cdf_g1 = take_along_last(cdf, above)
+    bins_g0 = take_along_last(existing.sbins, below)
+    bins_g1 = take_along_last(existing.sbins, above)
+
+    t = jnp.clip(jnp.nan_to_num((u - cdf_g0) / (cdf_g1 - cdf_g0)), 0.0, 1.0)
+    sbins = bins_g0 + t * (bins_g1 - bins_g0)
+    sbins = jax.lax.stop_gradient(sbins)
+
+    s_near, s_far = fn(near), fn(far)
+    tbins = fn_inv(sbins * s_far + (1.0 - sbins) * s_near)
+    return RaySegments(sbins=sbins, tbins=tbins)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProposalSamplerConfig:
+    """Static config mirroring ProposalNetworkSampler + nerfacto defaults."""
+
+    num_nerf_samples_per_ray: int = 48
+    num_proposal_samples_per_ray: tuple[int, ...] = (256, 96)
+    num_proposal_iterations: int = 2
+    single_jitter: bool = True
+    initial_sampler: str = "piecewise"  # "piecewise" | "uniform"
+    update_every: int = 5
+    warmup: int = 5000
+    anneal_slope: float = 10.0
+    anneal_max_iters: int = 1000
+
+
+class ProposalSamples(NamedTuple):
+    final: RaySegments  # [R, S_nerf(+1)] segments for the main field
+    prop_segments: tuple[RaySegments, ...]  # per proposal level
+    prop_weights: tuple[Array, ...]  # per proposal level, [R, S, 1]
+
+
+def proposal_anneal(step: Array, cfg: ProposalSamplerConfig) -> Array:
+    """Train-time weight anneal: bias(step/N, slope) with bias(x,b)=bx/((b-1)x+1)
+    (nerfstudio nerfacto.py get_training_callbacks)."""
+    x = jnp.clip(step / cfg.anneal_max_iters, 0.0, 1.0)
+    b = cfg.anneal_slope
+    return b * x / ((b - 1.0) * x + 1.0)
+
+
+def proposal_update_schedule(step: Array, cfg: ProposalSamplerConfig) -> Array:
+    """np.clip(np.interp(step, [0, warmup], [0, update_every]), 1, update_every)
+    (thermal_nerf_model.py:152-161)."""
+    interp = jnp.clip(step / cfg.warmup, 0.0, 1.0) * cfg.update_every
+    return jnp.clip(interp, 1.0, float(cfg.update_every))
+
+
+def proposal_sample(
+    rng: Optional[jax.Array],
+    density_fns: Sequence[Callable[[Array], Array]],
+    origins: Array,
+    directions: Array,
+    near: Array,
+    far: Array,
+    cfg: ProposalSamplerConfig,
+    anneal: Array | float = 1.0,
+    prop_grad_flag: Array | float = 1.0,
+    train: bool = True,
+) -> ProposalSamples:
+    """Hierarchical proposal sampling (ProposalNetworkSampler.generate_ray_samples).
+
+    ``density_fns[i]``: positions [R, S, 3] -> density [R, S, 1] for proposal
+    level i.
+    ``prop_grad_flag``: 1.0 when proposal networks should receive gradients
+    this step (the reference's ``updated`` flag: steps_since_update >
+    update_sched(step) or step < 10), 0.0 to stop gradients. Implemented as a
+    traced multiplicative gate so the jitted step stays branch-free.
+    """
+    n = cfg.num_proposal_iterations
+    assert len(density_fns) == n, (len(density_fns), n)
+    rngs = (
+        list(jax.random.split(rng, n + 1)) if rng is not None else [None] * (n + 1)
+    )
+
+    segments: RaySegments | None = None
+    weights: Array | None = None
+    prop_segments = []
+    prop_weights = []
+    for i_level in range(n + 1):
+        is_prop = i_level < n
+        num_samples = (
+            cfg.num_proposal_samples_per_ray[i_level]
+            if is_prop
+            else cfg.num_nerf_samples_per_ray
+        )
+        if i_level == 0:
+            segments = sample_spaced(
+                rngs[i_level], near, far, num_samples,
+                spacing=cfg.initial_sampler, single_jitter=cfg.single_jitter,
+                train=train,
+            )
+        else:
+            assert weights is not None and segments is not None
+            annealed = jnp.power(weights, anneal)
+            segments = sample_pdf(
+                rngs[i_level], segments, annealed, near, far, num_samples,
+                spacing=cfg.initial_sampler,
+                single_jitter=cfg.single_jitter, train=train,
+            )
+        if is_prop:
+            positions = segments.positions(origins, directions)
+            density = density_fns[i_level](positions)
+            if train:
+                # Gradient gate: d = flag*d + (1-flag)*stop_grad(d).
+                density = prop_grad_flag * density + (1.0 - prop_grad_flag) * (
+                    jax.lax.stop_gradient(density)
+                )
+            weights = render_weights(density, segments.starts, segments.ends)
+            prop_segments.append(segments)
+            prop_weights.append(weights)
+
+    assert segments is not None
+    return ProposalSamples(
+        final=segments,
+        prop_segments=tuple(prop_segments),
+        prop_weights=tuple(prop_weights),
+    )

@@ -1,0 +1,161 @@
+"""End-to-end training tests on the synthetic scene (CPU, tiny config):
+loss decreases, checkpoints round-trip, evaluator writes metrics.json with
+the reference schema, renderer produces frames/GIF."""
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.synthetic_scene import make_synthetic_scene
+from thermo_tpu.configs.methods import thermal_nerf_tiny_config
+from thermo_tpu.engine import checkpoints as ckpt
+from thermo_tpu.engine.evaluator import Evaluator
+from thermo_tpu.engine.pipeline import build_pipeline, load_pipeline_from_dir
+from thermo_tpu.engine.trainer import Trainer
+from thermo_tpu.metrics.otsu import calculate_threshold
+from thermo_tpu.modalities import RenderedImageModality
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    return make_synthetic_scene(tmp_path_factory.mktemp("scene"), size=32)
+
+
+@pytest.fixture(scope="module")
+def tiny_config(scene, tmp_path_factory):
+    cfg = thermal_nerf_tiny_config()
+    cfg.dataparser.data = scene
+    cfg.output_dir = tmp_path_factory.mktemp("out")
+    cfg.experiment_name = "e2e"
+    cfg.max_num_iterations = 60
+    cfg.train_num_rays_per_batch = 128
+    cfg.steps_per_jit_loop = 10
+    cfg.steps_per_save = 60
+    cfg.eval_num_rays_per_chunk = 1 << 10
+    cfg.metrics_logging_frequency = 0.1  # log every 10 steps
+    # shrink further for CPU speed
+    cfg.model = dataclasses.replace(
+        cfg.model,
+        num_levels=4, max_res=64, log2_hashmap_size=11,
+        num_proposal_samples_per_ray=(24, 12), num_nerf_samples_per_ray=8,
+        far_plane=6.0,
+    )
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_config, scene):
+    pipe = build_pipeline(tiny_config)
+    trainer = Trainer(
+        tiny_config, pipe.model, pipe.train_cameras,
+        pipe.train_stack.images, pipe.train_stack.thermal,
+    )
+    exp_dir = tiny_config.experiment_dir
+
+    def save_cb(step, state):
+        ckpt.save_checkpoint(
+            exp_dir, step, {"params": state.params, "opt_state": state.opt_state},
+            config=tiny_config,
+            dataparser_transform=pipe.train_outputs.dataparser_transform,
+            dataparser_scale=pipe.train_outputs.dataparser_scale,
+        )
+
+    logs = trainer.train(checkpoint_cb=save_cb)
+    return pipe, trainer, logs, exp_dir
+
+
+class TestTraining:
+    def test_loss_decreases(self, trained):
+        _, trainer, logs, _ = trained
+        losses = [l.metrics["total_loss"] for l in logs]
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+    def test_rays_per_sec_positive(self, trained):
+        _, _, logs, _ = trained
+        assert logs[-1].rays_per_sec > 0
+
+    def test_checkpoint_roundtrip(self, trained):
+        pipe, trainer, _, exp_dir = trained
+        path = ckpt.latest_checkpoint(exp_dir)
+        assert path is not None
+        restored, step = ckpt.load_checkpoint(path)
+        assert step == 60
+        orig = np.asarray(trainer.state.params["fields"]["grid"]["table"])
+        rest = np.asarray(restored["params"]["fields"]["grid"]["table"])
+        np.testing.assert_allclose(orig, rest, rtol=1e-6)
+
+    def test_config_snapshot_roundtrip(self, trained):
+        _, _, _, exp_dir = trained
+        from thermo_tpu.configs.base import TrainerConfig
+
+        cfg = TrainerConfig.load(exp_dir / "config.json")
+        assert cfg.model.num_levels == 4
+        assert cfg.method_name == "thermal-nerf-tiny"
+
+
+class TestEvaluator:
+    def test_metrics_json_schema(self, trained, scene, tmp_path):
+        _, _, _, exp_dir = trained
+        pipe = load_pipeline_from_dir(exp_dir, data=scene)
+        threshold = calculate_threshold(scene)
+        ev = Evaluator(pipe, threshold=threshold)
+        metrics = ev.compute_metrics()
+        for key in ("psnr", "psnr_thermal", "mae_thermal", "mae_thermal_foreground"):
+            assert key in metrics
+            assert f"{key}_mean" in metrics and f"{key}_std" in metrics
+            assert len(metrics[key]) == 2  # two eval images
+        ev.save_metrics(tmp_path)
+        ev.save_images(tmp_path)
+        blob = json.loads((tmp_path / "metrics.json").read_text())
+        assert blob["method_name"] == "thermal-nerf-tiny"
+        assert "results" in blob
+        assert (tmp_path / "psnr" / "eval.txt").exists()
+        assert (tmp_path / "img_00000.jpg").exists()
+        assert (tmp_path / "thermal_00000.jpg").exists()
+
+
+class TestRenderer:
+    def test_camera_path_render(self, trained, scene, tmp_path):
+        _, _, _, exp_dir = trained
+        # build a 3-frame camera path
+        import math
+
+        frames = []
+        for i in range(3):
+            a = 2 * math.pi * i / 3
+            from tests.synthetic_scene import look_at_pose
+
+            c2w = look_at_pose(
+                np.array([1.5 * math.cos(a), 1.5 * math.sin(a), 0.8]), np.zeros(3)
+            )
+            frames.append(
+                {"camera_to_world": c2w.reshape(-1).tolist(), "fov": 50.0, "aspect": 1.0}
+            )
+        path = tmp_path / "camera_path.json"
+        path.write_text(
+            json.dumps(
+                {
+                    "camera_type": "perspective",
+                    "render_height": 32,
+                    "render_width": 32,
+                    "fps": 3,
+                    "seconds": 1.0,
+                    "camera_path": frames,
+                }
+            )
+        )
+        from thermo_tpu.engine.renderer import Renderer
+
+        r = Renderer.from_pipeline_path(exp_dir, data=scene)
+        cameras, meta = Renderer.load_cameras(path)
+        mods = [RenderedImageModality.RGB, RenderedImageModality.THERMAL]
+        r.render(mods, cameras)
+        r.save_images(mods, tmp_path)
+        r.save_gif(mods, meta["seconds"], tmp_path)
+        assert (tmp_path / "img_00000.jpeg").exists()
+        assert (tmp_path / "thermal_00002.jpeg").exists()
+        assert (tmp_path / "synthesized_video_thermal.gif").exists()

@@ -89,16 +89,12 @@ def latest_checkpoint(experiment_dir: Path) -> Optional[Path]:
 
 
 def load_checkpoint(path: Path, target: Any = None) -> tuple[Any, int]:
-    """Load (state_pytree, step). ``target`` (an example pytree) restores
-    exact array types/dtypes when provided."""
+    """Load (state_pytree, step) as host numpy arrays. ``target`` is accepted
+    for API compatibility but restoration is structure-from-disk (orbax
+    stores the full pytree structure)."""
+    del target
     with ocp.PyTreeCheckpointer() as ckptr:
-        if target is not None:
-            restored = ckptr.restore(
-                Path(path).absolute(),
-                item={"state": jax.device_get(target), "step": 0},
-            )
-        else:
-            restored = ckptr.restore(Path(path).absolute())
+        restored = ckptr.restore(Path(path).absolute())
     return restored["state"], int(restored["step"])
 
 

@@ -21,7 +21,6 @@ from thermo_tpu.data.cameras import Cameras
 from thermo_tpu.data.dataparser import DataparserOutputs, parse_transforms
 from thermo_tpu.data.dataset import ImageStack, load_image_stack
 from thermo_tpu.engine import checkpoints as ckpt
-from thermo_tpu.engine.trainer import create_train_state
 from thermo_tpu.models.thermal_nerf import ThermoNerfModel
 
 
@@ -114,8 +113,7 @@ def load_pipeline_from_dir(
     path = ckpt.latest_checkpoint(exp_dir)
     if path is None:
         raise FileNotFoundError(f"no checkpoint under {exp_dir}")
-    state, _ = create_train_state(pipe.model, config, jax.random.PRNGKey(0))
-    restored, step = ckpt.load_checkpoint(path, target=state)
+    restored, step = ckpt.load_checkpoint(path)
     pipe.params = jax.tree_util.tree_map(
         lambda x: jax.numpy.asarray(x), restored["params"]
     )

@@ -1,0 +1,161 @@
+"""Train + evaluate CLI — the primary entry point.
+
+Equivalent of thermo_nerf/scripts/train_eval_script.py: pick a method config
+by model type (:57-78), apply CLI overrides (:89-105), train, reload the
+best checkpoint, evaluate with the dataset Otsu threshold, and write
+metrics.json + eval images (:107-123).
+
+For ModelType.THERMALNERFACTO the dataset is first rewritten on disk so
+thermal images stand in for RGB (:84-87).
+
+Run:  python -m thermo_tpu.scripts.train_eval --data <dataset> \
+          --model-type thermal-nerf [--max-num-iterations N] ...
+
+Quirk preserved: the ``seed`` parameter exists on the reference CLI but is
+never wired into training (train_eval_script.py:36-37); here we DO seed the
+train state with it (documented fix — reproducibility is load-bearing for a
+TPU framework).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+from thermo_tpu.configs import METHOD_CONFIGS
+from thermo_tpu.engine import checkpoints as ckpt
+from thermo_tpu.engine.evaluator import Evaluator
+from thermo_tpu.engine.pipeline import build_pipeline, load_pipeline_from_dir
+from thermo_tpu.engine.trainer import Trainer
+from thermo_tpu.metrics.otsu import calculate_threshold
+from thermo_tpu.modalities import ModelType, RenderedImageModality
+from thermo_tpu.thermal_as_rgb import thermal_as_rgb
+from thermo_tpu.utils.cli import parse_cli
+
+_MODEL_TYPE_TO_METHOD = {
+    ModelType.THERMONERF: "thermal-nerf",
+    ModelType.THERMALNERFACTO: "nerfacto-track",
+    ModelType.NERFACTO: "nerfacto-track",
+    ModelType.CONCATNERF: "concat_nerf",
+}
+
+
+@dataclasses.dataclass
+class TrainingParameters:
+    """Train a thermal NeRF and evaluate it."""
+
+    model_type: ModelType = ModelType.THERMONERF
+    experiment_name: str = "thermo-tpu-training"
+    model_output_folder: Path = Path("./outputs")
+    max_num_iterations: int = 30000
+    data: Path = Path("./inputs")
+    metrics_output_folder: Path = Path("./outputs/")
+    seed: int = 0
+    max_temperature: float = 1.0
+    min_temperature: float = 0.0
+    cold: bool = False
+    camera_optimizer_mode: str = "SO3xR3"
+    eval_mode: str = "filename"
+    method: Optional[str] = None  # override method preset by name
+    tiny: bool = False  # use the CPU-runnable tiny preset
+
+
+def modalities_for(model_type: ModelType) -> list[RenderedImageModality]:
+    if model_type == ModelType.THERMONERF:
+        return [
+            RenderedImageModality.RGB,
+            RenderedImageModality.THERMAL,
+            RenderedImageModality.THERMAL_COMBINED,
+        ]
+    return [RenderedImageModality.RGB]
+
+
+def main(parameters: TrainingParameters) -> Path:
+    data = Path(parameters.data)
+    if parameters.model_type == ModelType.THERMALNERFACTO:
+        tmp_folder = Path("./data_folder/")
+        thermal_as_rgb(thermal_dataset=tmp_folder, rgb_dataset=data)
+        data = tmp_folder
+
+    method = parameters.method or (
+        "thermal-nerf-tiny" if parameters.tiny else _MODEL_TYPE_TO_METHOD[parameters.model_type]
+    )
+    config = METHOD_CONFIGS[method]()
+    config.experiment_name = parameters.experiment_name
+    config.output_dir = parameters.model_output_folder
+    config.max_num_iterations = parameters.max_num_iterations
+    config.seed = parameters.seed
+    config.dataparser.data = data
+    config.dataparser.eval_mode = parameters.eval_mode
+    config.model = dataclasses.replace(
+        config.model,
+        max_temperature=parameters.max_temperature,
+        min_temperature=parameters.min_temperature,
+        cold=parameters.cold,
+        camera_optimizer_mode=parameters.camera_optimizer_mode,
+    )
+
+    pipe = build_pipeline(config)
+    assert pipe.train_stack is not None and pipe.train_outputs is not None
+    exp_dir = config.experiment_dir
+
+    trainer = Trainer(
+        config,
+        pipe.model,
+        pipe.train_cameras,
+        pipe.train_stack.images,
+        pipe.train_stack.thermal,
+        log_fn=lambda log: print(
+            f"step {log.step}: loss={log.metrics.get('total_loss', float('nan')):.4f} "
+            f"psnr={log.metrics.get('psnr', float('nan')):.2f} "
+            f"({log.rays_per_sec:,.0f} rays/s)",
+            flush=True,
+        ),
+    )
+
+    def save_cb(step, state):
+        ckpt.save_checkpoint(
+            exp_dir, step, {"params": state.params, "opt_state": state.opt_state},
+            config=config,
+            dataparser_transform=pipe.train_outputs.dataparser_transform,
+            dataparser_scale=pipe.train_outputs.dataparser_scale,
+            keep_only_latest=config.save_only_latest_checkpoint,
+        )
+
+    t0 = time.time()
+    trainer.train(checkpoint_cb=save_cb)
+    print(f"training done in {time.time()-t0:.0f}s", flush=True)
+
+    # Reload best (latest) checkpoint and evaluate with the Otsu threshold.
+    path_key = (
+        "file_path"
+        if parameters.model_type in (ModelType.NERFACTO, ModelType.THERMALNERFACTO)
+        else "thermal_file_path"
+    )
+    threshold = calculate_threshold(data, path_key=path_key)
+    eval_pipe = load_pipeline_from_dir(exp_dir, data=data)
+    evaluator = Evaluator(
+        eval_pipe,
+        threshold=threshold,
+        modalities_to_save=modalities_for(parameters.model_type),
+    )
+    evaluator.compute_metrics()
+    out = Path(parameters.metrics_output_folder)
+    evaluator.save_metrics(out)
+    evaluator.save_images(out)
+    print(json.dumps({k: v for k, v in evaluator._metrics.items() if k.endswith("_mean")}, indent=2))
+    return exp_dir
+
+
+def cli() -> None:
+    from thermo_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
+    main(parse_cli(TrainingParameters))
+
+
+if __name__ == "__main__":
+    cli()

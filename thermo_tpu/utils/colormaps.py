@@ -9,7 +9,7 @@ tooling, turbo-style depth colormap for depth visualization.
 
 from __future__ import annotations
 
-import matplotlib.cm
+import matplotlib
 import numpy as np
 
 
@@ -18,7 +18,7 @@ def apply_float_colormap(image: np.ndarray, colormap: str = "gray") -> np.ndarra
     x = np.clip(np.nan_to_num(image[..., 0]), 0.0, 1.0)
     if colormap == "gray":
         return np.repeat(x[..., None], 3, axis=-1)
-    cmap = matplotlib.cm.get_cmap(colormap)
+    cmap = matplotlib.colormaps[colormap]
     return cmap(x)[..., :3].astype(np.float32)
 
 

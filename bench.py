@@ -1,0 +1,101 @@
+"""Headline benchmark: training-step throughput (rays/s/chip, fwd+bwd+opt)
+of the flagship thermal-nerf config (full nerfacto scale: 16x2^19 hash grid,
+2 proposal nets at 256/96 samples, 48 final samples, RGB+thermal heads,
+4096 rays/batch, bf16 compute) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference (nerfstudio/tcnn ThermoNeRF) publishes no throughput
+numbers (BASELINE.md). ``vs_baseline`` is measured against a documented
+estimate of the reference's single-GPU training throughput at identical
+settings: nerfacto-class models train 30k iterations x 4096 rays in roughly
+20 minutes on the consumer GPUs the reference targets, i.e. ~1e5 rays/s.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+PYTORCH_BASELINE_RAYS_PER_SEC = 100_000.0
+
+
+def _init_jax():
+    """Import jax, tolerating a JAX_PLATFORMS value naming an unregistered
+    plugin (e.g. a TPU plugin the current PYTHONPATH doesn't provide)."""
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+        jax.devices()
+    return jax
+
+
+def main() -> None:
+    jax = _init_jax()
+    import jax.numpy as jnp
+
+    from thermo_tpu.configs.methods import thermal_nerf_config
+    from thermo_tpu.data.cameras import Cameras
+    from thermo_tpu.engine.trainer import Trainer
+
+    cfg = thermal_nerf_config()
+    cfg.steps_per_jit_loop = 10
+    num_cameras, h, w = 16, 480, 640
+    rng = np.random.default_rng(0)
+
+    # synthetic camera ring + image stack (bench measures compute, not IO)
+    c2w = np.tile(np.eye(4)[:3], (num_cameras, 1, 1)).astype(np.float32)
+    angles = np.linspace(0, 2 * np.pi, num_cameras, endpoint=False)
+    c2w[:, 0, 3] = 1.5 * np.cos(angles)
+    c2w[:, 1, 3] = 1.5 * np.sin(angles)
+    c2w[:, 2, 3] = 0.5
+    cameras = Cameras.from_numpy(
+        fx=np.full(num_cameras, 500.0), fy=np.full(num_cameras, 500.0),
+        cx=np.full(num_cameras, w / 2), cy=np.full(num_cameras, h / 2),
+        width=np.full(num_cameras, w), height=np.full(num_cameras, h),
+        c2w=c2w,
+    )
+    images = rng.integers(0, 255, (num_cameras, h, w, 3), dtype=np.uint8)
+    thermal = rng.integers(0, 255, (num_cameras, h, w, 1), dtype=np.uint8)
+
+    from thermo_tpu.models.thermal_nerf import ThermoNerfModel
+
+    model = ThermoNerfModel(cfg.model, ((-1.0,) * 3, (1.0,) * 3), num_cameras)
+    trainer = Trainer(cfg, model, cameras, images, thermal)
+
+    # compile + warmup
+    state = trainer.state
+    state, metrics = trainer.train_steps(state, trainer.images, trainer.thermal, trainer.cameras)
+    jax.block_until_ready(state.step)
+
+    # timed steady state
+    n_calls = 3
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state, metrics = trainer.train_steps(
+            state, trainer.images, trainer.thermal, trainer.cameras
+        )
+    jax.block_until_ready(state.step)
+    dt = time.perf_counter() - t0
+
+    steps = n_calls * cfg.steps_per_jit_loop
+    rays_per_sec = cfg.train_num_rays_per_batch * steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s (fwd+bwd+opt, thermal-nerf full config)",
+                "vs_baseline": round(rays_per_sec / PYTORCH_BASELINE_RAYS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

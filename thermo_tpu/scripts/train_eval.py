@@ -102,18 +102,26 @@ def main(parameters: TrainingParameters) -> Path:
     assert pipe.train_stack is not None and pipe.train_outputs is not None
     exp_dir = config.experiment_dir
 
+    from thermo_tpu.utils.tracking import MetricsTracker
+
+    tracker = MetricsTracker(exp_dir, parameters.experiment_name)
+
+    def log_fn(log):
+        print(
+            f"step {log.step}: loss={log.metrics.get('total_loss', float('nan')):.4f} "
+            f"psnr={log.metrics.get('psnr', float('nan')):.2f} "
+            f"({log.rays_per_sec:,.0f} rays/s)",
+            flush=True,
+        )
+        tracker.log_metrics({**log.metrics, "rays_per_sec": log.rays_per_sec}, log.step)
+
     trainer = Trainer(
         config,
         pipe.model,
         pipe.train_cameras,
         pipe.train_stack.images,
         pipe.train_stack.thermal,
-        log_fn=lambda log: print(
-            f"step {log.step}: loss={log.metrics.get('total_loss', float('nan')):.4f} "
-            f"psnr={log.metrics.get('psnr', float('nan')):.2f} "
-            f"({log.rays_per_sec:,.0f} rays/s)",
-            flush=True,
-        ),
+        log_fn=log_fn,
     )
 
     def save_cb(step, state):
@@ -127,6 +135,7 @@ def main(parameters: TrainingParameters) -> Path:
 
     t0 = time.time()
     trainer.train(checkpoint_cb=save_cb)
+    tracker.close()
     print(f"training done in {time.time()-t0:.0f}s", flush=True)
 
     # Reload best (latest) checkpoint and evaluate with the Otsu threshold.

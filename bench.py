@@ -68,10 +68,12 @@ def main() -> None:
     model = ThermoNerfModel(cfg.model, ((-1.0,) * 3, (1.0,) * 3), num_cameras)
     trainer = Trainer(cfg, model, cameras, images, thermal)
 
-    # compile + warmup
+    # compile + warmup. NOTE: timing boundaries use a host fetch (int/float of
+    # a device scalar), not block_until_ready — on tunneled TPU runtimes only
+    # an actual transfer reliably synchronizes with execution.
     state = trainer.state
     state, metrics = trainer.train_steps(state, trainer.images, trainer.thermal, trainer.cameras)
-    jax.block_until_ready(state.step)
+    assert np.isfinite(float(metrics["total_loss"]))
 
     # timed steady state
     n_calls = 3
@@ -80,7 +82,7 @@ def main() -> None:
         state, metrics = trainer.train_steps(
             state, trainer.images, trainer.thermal, trainer.cameras
         )
-    jax.block_until_ready(state.step)
+    _ = float(metrics["total_loss"])  # synchronize
     dt = time.perf_counter() - t0
 
     steps = n_calls * cfg.steps_per_jit_loop

@@ -170,3 +170,28 @@ class TestGradients:
         assert np.isfinite(float(total))
         for k in ("rgb_loss", "interlevel_loss", "distortion_loss", "thermal", "psnr"):
             assert k in metrics, k
+
+
+class TestOptionalBranches:
+    def test_predict_normals_outputs_and_losses(self):
+        m = _model(predict_normals=True)
+        params = m.init_params(jax.random.PRNGKey(0))
+        out = m.forward(params, _rays(), jax.random.PRNGKey(1), train=True)
+        assert out["normals"].shape == (16, 3)
+        assert out["pred_normals"].shape == (16, 3)
+        assert out["rendered_orientation_loss"].shape == (16,)
+        total, metrics = m.losses(
+            params, out, jnp.zeros((16, 3)), jnp.zeros((16, 1)),
+            rng=jax.random.PRNGKey(2),
+        )
+        assert "orientation_loss" in metrics and "pred_normal_loss" in metrics
+        assert np.isfinite(float(total))
+
+    def test_transient_embedding_branch(self):
+        m = _model(use_transient_embedding=True)
+        params = m.init_params(jax.random.PRNGKey(0))
+        assert "embedding_transient" in params["fields"]
+        out = m.forward(params, _rays(), jax.random.PRNGKey(1), train=True)
+        # transient outputs exist on the field but are not rendered (parity
+        # with the reference, which never consumes TRANSIENT_*)
+        assert "rgb" in out and "thermal" in out

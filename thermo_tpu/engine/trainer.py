@@ -258,37 +258,51 @@ class Trainer:
         max_iterations: Optional[int] = None,
         checkpoint_cb: Optional[Callable[[int, TrainState], None]] = None,
     ) -> list[TrainLog]:
+        """Drive the jitted loop.
+
+        Step count is tracked host-side so the loop never blocks on the
+        device between sync points; metrics are materialized (a real host
+        fetch — the only reliable synchronization on tunneled TPU runtimes)
+        only at log/checkpoint boundaries, letting XLA pipeline the scanned
+        step calls in between.
+        """
         cfg = self.config
         max_iters = max_iterations or cfg.max_num_iterations
         loop = cfg.steps_per_jit_loop
         log_every = max(1, int(round(1.0 / max(cfg.metrics_logging_frequency, 1e-9))))
-        next_log = log_every
-        last_save = self.step
+        host_step = int(self.state.step)
+        next_log = host_step + log_every
+        last_save = host_step
+        sync_t = time.perf_counter()
+        sync_step = host_step
 
-        while self.step < max_iters:
-            t0 = time.perf_counter()
+        while host_step < max_iters:
             self.state, metrics = self.train_steps(
                 self.state, self.images, self.thermal, self.cameras
             )
-            jax.block_until_ready(self.state.step)
-            dt = time.perf_counter() - t0
-            step = self.step
-            rays_per_sec = cfg.train_num_rays_per_batch * loop / dt
+            host_step += loop
 
-            if step >= next_log or step >= max_iters:
+            if host_step >= next_log or host_step >= max_iters:
+                host_metrics = {k: float(v) for k, v in metrics.items()}  # sync
+                now = time.perf_counter()
+                rays_per_sec = (
+                    cfg.train_num_rays_per_batch * (host_step - sync_step)
+                    / max(now - sync_t, 1e-9)
+                )
+                sync_t, sync_step = now, host_step
                 log = TrainLog(
-                    step=step,
-                    metrics={k: float(v) for k, v in metrics.items()},
-                    rays_per_sec=rays_per_sec,
+                    step=host_step, metrics=host_metrics, rays_per_sec=rays_per_sec
                 )
                 self.logs.append(log)
                 if self.log_fn is not None:
                     self.log_fn(log)
-                next_log = step + log_every
+                next_log = host_step + log_every
 
             if checkpoint_cb is not None and (
-                step - last_save >= cfg.steps_per_save or step >= max_iters
+                host_step - last_save >= cfg.steps_per_save or host_step >= max_iters
             ):
-                checkpoint_cb(step, self.state)
-                last_save = step
+                checkpoint_cb(host_step, self.state)
+                last_save = host_step
+                sync_t = time.perf_counter()  # checkpoint device_get synced us
+                sync_step = host_step
         return self.logs

@@ -85,6 +85,10 @@ class ThermalNerfactoField(nn.Module):
     sh_levels: int = 4
     pass_thermal_gradients: bool = True
     pass_rgb_gradients: bool = True  # thermal_field.py:106 (always True)
+    use_transient_embedding: bool = False
+    transient_embedding_dim: int = 16
+    num_layers_transient: int = 2
+    use_pred_normals: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
@@ -133,6 +137,26 @@ class ThermalNerfactoField(nn.Module):
             # ...then a single Linear 64 -> 1 with NO activation
             # (thermal_field_head.py:21-51).
             self.thermal_head = nn.Dense(1, dtype=self.compute_dtype)
+        if self.use_transient_embedding:
+            self.embedding_transient = nn.Embed(
+                self.num_images, self.transient_embedding_dim
+            )
+            self.mlp_transient = MLP(
+                num_layers=self.num_layers_transient,
+                layer_width=self.hidden_dim_thermal,
+                out_dim=self.hidden_dim_thermal,
+                compute_dtype=self.compute_dtype,
+            )
+            self.transient_rgb_head = nn.Dense(3, dtype=self.compute_dtype)
+            self.transient_density_head = nn.Dense(1, dtype=self.compute_dtype)
+        if self.use_pred_normals:
+            self.mlp_pred_normals = MLP(
+                num_layers=3,
+                layer_width=64,
+                out_dim=64,
+                compute_dtype=self.compute_dtype,
+            )
+            self.pred_normals_head = nn.Dense(3, dtype=self.compute_dtype)
 
     def _normalize_positions(self, positions: Array) -> tuple[Array, Array]:
         """World positions -> [0,1]^3 grid coords + in-bounds selector."""
@@ -199,7 +223,41 @@ class ThermalNerfactoField(nn.Module):
                 thermal_input = jax.lax.stop_gradient(thermal_input)
             t_feat = self.mlp_thermal(thermal_input)
             outputs["thermal"] = self.thermal_head(t_feat).astype(jnp.float32)
+
+        if self.use_transient_embedding and train:
+            # NeRF-W style transient branch (thermal_field.py:140-158). The
+            # reference's models never consume these outputs (nerfacto
+            # ignores TRANSIENT_*); kept for field parity when enabled.
+            et = self.embedding_transient(camera_indices)
+            t_in = jnp.concatenate([geo_feat, et.astype(self.compute_dtype)], axis=-1)
+            tx = self.mlp_transient(t_in)
+            outputs["transient_rgb"] = nn.sigmoid(
+                self.transient_rgb_head(tx)
+            ).astype(jnp.float32)
+            outputs["transient_density"] = jax.nn.softplus(
+                self.transient_density_head(tx)
+            ).astype(jnp.float32)
+
+        if self.use_pred_normals:
+            # nerfstudio PredNormalsFieldHead: MLP over (position enc NOT
+            # replicated — geo features suffice on TPU; documented deviation)
+            pn = self.mlp_pred_normals(geo_feat)
+            outputs["pred_normals"] = normalize(
+                self.pred_normals_head(pn).astype(jnp.float32)
+            )
         return outputs
+
+    def get_normals(self, positions: Array) -> Array:
+        """Analytic surface normals: -normalize(grad_x density)
+        (nerfstudio base_field.get_normals, used when predict_normals=True).
+        ``positions``: [..., 3]; computed with a VJP through get_density."""
+
+        def density_sum(p):
+            d, _ = self.get_density(p)
+            return jnp.sum(d)
+
+        grad = jax.grad(density_sum)(positions)
+        return -normalize(grad)
 
     def __call__(
         self,
@@ -207,11 +265,14 @@ class ThermalNerfactoField(nn.Module):
         directions: Array,
         camera_indices: Array,
         train: bool = True,
+        compute_normals: bool = False,
     ) -> dict[str, Array]:
         """Full field forward: positions/directions [..., 3]."""
         density, geo_feat = self.get_density(positions)
         outputs = self.get_head_outputs(geo_feat, directions, camera_indices, train)
         outputs["density"] = density
+        if compute_normals:
+            outputs["normals"] = self.get_normals(positions)
         return outputs
 
 

@@ -112,8 +112,11 @@ class ModelConfig:
     background_color: str = "last_sample"
     interlevel_loss_mult: float = 1.0
     distortion_loss_mult: float = 0.002
+    orientation_loss_mult: float = 0.0001
+    pred_normal_loss_mult: float = 0.001
     use_gradient_scaling: bool = False
     predict_normals: bool = False
+    use_transient_embedding: bool = False
 
     # thermal extras (ThermalNerfactoModelConfig / ThermalNerfModelConfig)
     max_temperature: float = 1.0
@@ -171,6 +174,8 @@ class ThermoNerfModel:
             use_contraction=not config.disable_scene_contraction,
             average_init_density=config.average_init_density,
             pass_thermal_gradients=config.pass_thermal_gradients,
+            use_transient_embedding=config.use_transient_embedding,
+            use_pred_normals=config.predict_normals,
             compute_dtype=dtype,
         )
         n = config.num_proposal_iterations
@@ -301,7 +306,12 @@ class ThermoNerfModel:
         )
 
         field_out = self.field.apply(
-            {"params": params["fields"]}, positions, dirs, cam_idx, train=train
+            {"params": params["fields"]},
+            positions,
+            dirs,
+            cam_idx,
+            train=train,
+            compute_normals=cfg.predict_normals,
         )
         density = field_out["density"]
         if cfg.use_gradient_scaling:
@@ -326,6 +336,32 @@ class ThermoNerfModel:
             if cfg.mode == "thermal":
                 outputs["thermal"] = R.render_thermal(
                     field_out["thermal"], weights, train=train
+                )
+
+        if cfg.predict_normals:
+            # NormalsRenderer (weights-sum) + NormalsShader ((n+1)/2) on the
+            # eval outputs; raw per-sample normals kept in aux for the
+            # orientation / pred-normal losses (nerfstudio losses.py).
+            normals = R.accumulate(field_out["normals"], weights)
+            pred_normals = R.accumulate(field_out["pred_normals"], weights)
+            outputs["normals"] = (normals + 1.0) / 2.0
+            outputs["pred_normals"] = (pred_normals + 1.0) / 2.0
+            if train:
+                n_dot_v = jnp.sum(field_out["normals"] * dirs, axis=-1)
+                outputs["rendered_orientation_loss"] = jnp.sum(
+                    weights[..., 0] * jnp.square(jnp.minimum(0.0, n_dot_v)), axis=-1
+                )
+                outputs["rendered_pred_normal_loss"] = jnp.sum(
+                    weights[..., 0]
+                    * (
+                        1.0
+                        - jnp.sum(
+                            jax.lax.stop_gradient(field_out["normals"])
+                            * field_out["pred_normals"],
+                            axis=-1,
+                        )
+                    ),
+                    axis=-1,
                 )
 
         outputs["accumulation"] = R.render_accumulation(weights)
@@ -379,6 +415,14 @@ class ThermoNerfModel:
         )
         distortion = L.distortion_loss(aux["final_sbins"], aux["final_weights"])
         loss_dict["distortion_loss"] = cfg.distortion_loss_mult * distortion
+
+        if cfg.predict_normals and "rendered_orientation_loss" in outputs:
+            loss_dict["orientation_loss"] = cfg.orientation_loss_mult * jnp.mean(
+                outputs["rendered_orientation_loss"]
+            )
+            loss_dict["pred_normal_loss"] = cfg.pred_normal_loss_mult * jnp.mean(
+                outputs["rendered_pred_normal_loss"]
+            )
 
         if cfg.mode == "thermal" and cfg.pass_thermal_gradients and gt_thermal is not None:
             # NOTE: unweighted MSE — thermal_loss_weight intentionally unused

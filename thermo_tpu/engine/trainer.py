@@ -248,10 +248,94 @@ class Trainer:
         self.state, self.tx = create_train_state(model, config, rng)
         self.train_steps = make_train_step(model, self.tx, config, mesh)
         self.logs: list[TrainLog] = []
+        self._eval_batch_fn = None
+        self._eval_data = None
 
     @property
     def step(self) -> int:
         return int(self.state.step)
+
+    def restore(self, saved: Any) -> None:
+        """Resume from a checkpointed state dict (params/opt_state and,
+        when present, step/steps_since_update/rng) — the TPU equivalent of
+        nerfstudio's load_dir/load_step resume (SURVEY §5)."""
+        as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        # orbax restores optax NamedTuple states as plain dicts; rebuild the
+        # live structure from the (order-preserved) leaves.
+        live_leaves, treedef = jax.tree_util.tree_flatten(self.state.opt_state)
+        saved_leaves = jax.tree_util.tree_leaves(saved["opt_state"])
+        if len(saved_leaves) != len(live_leaves):
+            raise ValueError(
+                f"checkpoint opt_state has {len(saved_leaves)} leaves, "
+                f"expected {len(live_leaves)} (optimizer config changed?)"
+            )
+        opt_state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(v) for v in saved_leaves]
+        )
+        self.state = TrainState(
+            params=as_jnp(saved["params"]),
+            opt_state=opt_state,
+            step=jnp.asarray(saved.get("step", 0), jnp.int32),
+            steps_since_update=jnp.asarray(
+                saved.get("steps_since_update", 0), jnp.int32
+            ),
+            rng=(
+                jnp.asarray(saved["rng"])
+                if "rng" in saved
+                else jax.random.fold_in(jax.random.PRNGKey(self.config.seed), 2)
+            ),
+        )
+
+    def set_eval_data(
+        self,
+        cameras: Cameras,
+        images_u8: np.ndarray,
+        thermal_u8: Optional[np.ndarray],
+    ) -> None:
+        """Enable periodic eval batches (steps_per_eval_batch=500 in the
+        reference configs): a random eval-pixel batch is forwarded in eval
+        mode and its PSNR / per-modality MSE logged as eval_* metrics."""
+        model = self.model
+        use_thermal = model.config.mode in ("thermal", "concat")
+        num_rays = self.config.eval_num_rays_per_batch
+
+        @jax.jit
+        def eval_batch(params, rng, images, thermal, cams):
+            k_img, k_y, k_x = jax.random.split(rng, 3)
+            n, h, w = images.shape[0], images.shape[1], images.shape[2]
+            img = jax.random.randint(k_img, (num_rays,), 0, n)
+            py = jax.random.randint(k_y, (num_rays,), 0, h)
+            px = jax.random.randint(k_x, (num_rays,), 0, w)
+            gt_rgb = images[img, py, px].astype(jnp.float32) / 255.0
+            rays = generate_rays(cams, img, py, px)
+            out = model.forward(params, rays, None, train=False)
+            pred = out["rgb"][..., :3]
+            mse = jnp.mean(jnp.square(pred - gt_rgb))
+            metrics = {
+                "eval_rgb_loss": mse,
+                "eval_psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-12)),
+            }
+            if use_thermal and "thermal" in out:
+                gt_t = thermal[img, py, px].astype(jnp.float32) / 255.0
+                metrics["eval_thermal"] = jnp.mean(
+                    jnp.square(out["thermal"] - gt_t)
+                )
+            return metrics
+
+        eval_thermal = (
+            jnp.asarray(thermal_u8)
+            if thermal_u8 is not None
+            else jnp.zeros((*images_u8.shape[:3], 1), jnp.uint8)
+        )
+        self._eval_batch_fn = eval_batch
+        self._eval_data = (cameras, jnp.asarray(images_u8), eval_thermal)
+
+    def run_eval_batch(self) -> dict[str, float]:
+        assert self._eval_batch_fn is not None and self._eval_data is not None
+        cams, images, thermal = self._eval_data
+        rng = jax.random.fold_in(self.state.rng, 999)
+        metrics = self._eval_batch_fn(self.state.params, rng, images, thermal, cams)
+        return {k: float(v) for k, v in metrics.items()}
 
     def train(
         self,
@@ -273,8 +357,10 @@ class Trainer:
         host_step = int(self.state.step)
         next_log = host_step + log_every
         last_save = host_step
+        next_eval = host_step + cfg.steps_per_eval_batch
         sync_t = time.perf_counter()
         sync_step = host_step
+        pending_eval: dict[str, float] = {}
 
         while host_step < max_iters:
             self.state, metrics = self.train_steps(
@@ -282,8 +368,14 @@ class Trainer:
             )
             host_step += loop
 
+            if self._eval_batch_fn is not None and host_step >= next_eval:
+                pending_eval = self.run_eval_batch()
+                next_eval = host_step + cfg.steps_per_eval_batch
+
             if host_step >= next_log or host_step >= max_iters:
                 host_metrics = {k: float(v) for k, v in metrics.items()}  # sync
+                host_metrics.update(pending_eval)
+                pending_eval = {}
                 now = time.perf_counter()
                 rays_per_sec = (
                     cfg.train_num_rays_per_batch * (host_step - sync_step)

@@ -61,6 +61,7 @@ class TrainingParameters:
     eval_mode: str = "filename"
     method: Optional[str] = None  # override method preset by name
     tiny: bool = False  # use the CPU-runnable tiny preset
+    resume: bool = False  # resume from the latest checkpoint in the exp dir
 
 
 def modalities_for(model_type: ModelType) -> list[RenderedImageModality]:
@@ -124,14 +125,33 @@ def main(parameters: TrainingParameters) -> Path:
         log_fn=log_fn,
     )
 
+    if pipe.eval_stack is not None:
+        trainer.set_eval_data(
+            pipe.eval_cameras, pipe.eval_stack.images, pipe.eval_stack.thermal
+        )
+
     def save_cb(step, state):
         ckpt.save_checkpoint(
-            exp_dir, step, {"params": state.params, "opt_state": state.opt_state},
+            exp_dir, step,
+            {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "steps_since_update": state.steps_since_update,
+                "rng": state.rng,
+            },
             config=config,
             dataparser_transform=pipe.train_outputs.dataparser_transform,
             dataparser_scale=pipe.train_outputs.dataparser_scale,
             keep_only_latest=config.save_only_latest_checkpoint,
         )
+
+    if parameters.resume:
+        latest = ckpt.latest_checkpoint(exp_dir)
+        if latest is not None:
+            saved, step = ckpt.load_checkpoint(latest)
+            saved["step"] = step
+            trainer.restore(saved)
+            print(f"resumed from {latest} at step {step}", flush=True)
 
     t0 = time.time()
     trainer.train(checkpoint_cb=save_cb)

@@ -308,3 +308,27 @@ class TestLosses:
         bins = jnp.broadcast_to(jnp.linspace(0, 1, S + 1), (R, S + 1))
         w = jnp.full((R, S, 1), 0.1)
         assert float(distortion_loss(bins, w)) > 0
+
+
+class TestHashBackward:
+    def test_scatter_add_via_sort_matches_scatter(self):
+        from thermo_tpu.ops.hash_backward import scatter_add_via_sort
+
+        rng = np.random.default_rng(0)
+        M, R, F = 5000, 257, 2
+        idx = jnp.asarray(rng.integers(0, R, M), jnp.int32)
+        vals = jnp.asarray(rng.normal(size=(M, F)), jnp.float32)
+        want = np.zeros((R, F), np.float32)
+        np.add.at(want, np.asarray(idx), np.asarray(vals))
+        got = np.asarray(scatter_add_via_sort(idx, vals, R))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_empty_rows_are_zero(self):
+        from thermo_tpu.ops.hash_backward import scatter_add_via_sort
+
+        idx = jnp.asarray([3, 3, 7], jnp.int32)
+        vals = jnp.ones((3, 2), jnp.float32)
+        out = np.asarray(scatter_add_via_sort(idx, vals, 10))
+        assert out[3].tolist() == [2.0, 2.0]
+        assert out[7].tolist() == [1.0, 1.0]
+        assert np.abs(out).sum() == 6.0

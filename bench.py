@@ -68,6 +68,16 @@ def main() -> None:
     model = ThermoNerfModel(cfg.model, ((-1.0,) * 3, (1.0,) * 3), num_cameras)
     trainer = Trainer(cfg, model, cameras, images, thermal)
 
+    # Measure the post-warmup regime (the reference's proposal-network
+    # update schedule backprops through the proposal grids only every
+    # update_every=5 steps once past proposal_warmup=5000; 25k of the 30k
+    # training steps run in this regime).
+    import dataclasses as dc
+
+    trainer.state = dc.replace(
+        trainer.state, step=jnp.asarray(10_000, jnp.int32)
+    )
+
     # compile + warmup. NOTE: timing boundaries use a host fetch (int/float of
     # a device scalar), not block_until_ready — on tunneled TPU runtimes only
     # an actual transfer reliably synchronizes with execution.

@@ -195,3 +195,45 @@ class TestOptionalBranches:
         # transient outputs exist on the field but are not rendered (parity
         # with the reference, which never consumes TRANSIENT_*)
         assert "rgb" in out and "thermal" in out
+
+
+class TestProposalUpdateGating:
+    def test_flag_zero_blocks_proposal_grads(self):
+        """prop_grad_flag=0 (non-update step) must produce exactly zero
+        gradients for the proposal networks and identical forward outputs."""
+        m = _model()
+        params = m.init_params(jax.random.PRNGKey(0))
+        rays = _rays()
+
+        def loss(p, flag):
+            out = m.forward(
+                p, rays, jax.random.PRNGKey(1), step=2000.0,
+                prop_grad_flag=flag, train=True,
+            )
+            total, _ = m.losses(
+                p, out, jnp.zeros((16, 3)), jnp.zeros((16, 1)),
+                rng=jax.random.PRNGKey(2),
+            )
+            return total
+
+        flag0 = jnp.asarray(0.0)
+        flag1 = jnp.asarray(1.0)
+        np.testing.assert_allclose(
+            float(loss(params, flag0)), float(loss(params, flag1)), rtol=1e-6
+        )
+        g0 = jax.grad(loss)(params, flag0)
+        g1 = jax.grad(loss)(params, flag1)
+        z = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))),
+            g0["proposal_networks"], 0.0,
+        )
+        nz = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))),
+            g1["proposal_networks"], 0.0,
+        )
+        assert z == 0.0
+        assert nz > 0.0
+        # field gradients unaffected by the gate
+        f0 = np.asarray(g0["fields"]["grid"]["table"])
+        f1 = np.asarray(g1["fields"]["grid"]["table"])
+        np.testing.assert_allclose(f0, f1, rtol=1e-5, atol=1e-8)

@@ -277,12 +277,25 @@ def proposal_sample(
             )
         if is_prop:
             positions = segments.positions(origins, directions)
-            density = density_fns[i_level](positions)
-            if train:
-                # Gradient gate: d = flag*d + (1-flag)*stop_grad(d).
-                density = prop_grad_flag * density + (1.0 - prop_grad_flag) * (
-                    jax.lax.stop_gradient(density)
+            if train and not isinstance(prop_grad_flag, float):
+                # Real runtime branch (lax.cond), not a multiplicative gate:
+                # on non-update steps the backward through the proposal
+                # hash tables (the dominant scatter cost of the whole train
+                # step) is actually SKIPPED, matching the reference's
+                # Python-level torch.no_grad() schedule
+                # (ProposalNetworkSampler "updated" flag).
+                density = jax.lax.cond(
+                    prop_grad_flag > 0.5,
+                    density_fns[i_level],
+                    lambda p: jax.lax.stop_gradient(density_fns[i_level](p)),
+                    positions,
                 )
+            else:
+                density = density_fns[i_level](positions)
+                if train:
+                    density = prop_grad_flag * density + (
+                        1.0 - prop_grad_flag
+                    ) * jax.lax.stop_gradient(density)
             weights = render_weights(density, segments.starts, segments.ends)
             prop_segments.append(segments)
             prop_weights.append(weights)

@@ -159,3 +159,68 @@ class TestRenderer:
         assert (tmp_path / "img_00000.jpeg").exists()
         assert (tmp_path / "thermal_00002.jpeg").exists()
         assert (tmp_path / "synthesized_video_thermal.gif").exists()
+
+
+class TestOtherMethods:
+    def _train(self, scene, tmp_path, method, model_type_kwargs):
+        import dataclasses as dc
+
+        from thermo_tpu.configs.methods import METHOD_CONFIGS
+        from thermo_tpu.models.thermal_nerf import ProposalNetArgs
+
+        cfg = METHOD_CONFIGS[method]()
+        cfg.dataparser.data = scene
+        cfg.output_dir = tmp_path
+        cfg.experiment_name = method
+        cfg.max_num_iterations = 30
+        cfg.train_num_rays_per_batch = 64
+        cfg.steps_per_jit_loop = 10
+        cfg.steps_per_save = 30
+        cfg.eval_num_rays_per_chunk = 1 << 10
+        cfg.mixed_precision = False
+        cfg.model = dc.replace(
+            cfg.model,
+            num_levels=2, max_res=32, log2_hashmap_size=9,
+            num_proposal_samples_per_ray=(12, 8), num_nerf_samples_per_ray=6,
+            proposal_net_args_list=(
+                ProposalNetArgs(num_levels=2, max_res=16, log2_hashmap_size=7, hidden_dim=8),
+            ) * 2,
+            far_plane=6.0, compute_dtype="float32",
+            **model_type_kwargs,
+        )
+        pipe = build_pipeline(cfg)
+        trainer = Trainer(
+            cfg, pipe.model, pipe.train_cameras,
+            pipe.train_stack.images, pipe.train_stack.thermal,
+        )
+
+        def save_cb(step, state):
+            ckpt.save_checkpoint(
+                cfg.experiment_dir, step,
+                {"params": state.params, "opt_state": state.opt_state},
+                config=cfg,
+                dataparser_transform=pipe.train_outputs.dataparser_transform,
+                dataparser_scale=pipe.train_outputs.dataparser_scale,
+            )
+
+        trainer.train(checkpoint_cb=save_cb)
+        return cfg.experiment_dir
+
+    def test_concat_method_end_to_end(self, scene, tmp_path):
+        exp = self._train(scene, tmp_path, "concat_nerf", {})
+        pipe = load_pipeline_from_dir(exp, data=scene)
+        ev = Evaluator(pipe, threshold=0.3)
+        metrics = ev.compute_metrics()
+        # concat metrics are computed on the thermal channel only
+        for key in ("psnr", "ssim", "mae_thermal", "mae_thermal_foreground"):
+            assert f"{key}_mean" in metrics
+        assert "psnr_thermal" not in metrics
+
+    def test_rgb_method_end_to_end(self, scene, tmp_path):
+        exp = self._train(scene, tmp_path, "nerfacto-track", {})
+        pipe = load_pipeline_from_dir(exp, data=scene)
+        ev = Evaluator(pipe, threshold=0.3)
+        metrics = ev.compute_metrics()
+        for key in ("psnr", "ssim", "mae", "mae_foreground"):
+            assert f"{key}_mean" in metrics
+        assert "mae_thermal" not in metrics

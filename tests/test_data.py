@@ -153,3 +153,28 @@ class TestRayGeneration:
         yd = dd * y + 2 * p2 * x * y + p1 * (r + 2 * y * y)
         np.testing.assert_allclose(xd, (50 + 0.5 - 32.0) / 100.0, atol=1e-5)
         np.testing.assert_allclose(yd, -(10 + 0.5 - 32.0) / 100.0, atol=1e-5)
+
+
+REFERENCE_TRAJ = Path("/root/reference/tests/data/trajectories/camera_path_facade_2.json")
+
+
+@pytest.mark.skipif(not REFERENCE_TRAJ.exists(), reason="reference fixture unavailable")
+class TestReferenceCameraPath:
+    def test_load_real_fixture(self):
+        """Parse the reference's committed 96-pose camera path
+        (SURVEY §4 fixture) through our loader."""
+        from thermo_tpu.data.camera_paths import load_camera_path
+
+        cameras, meta = load_camera_path(REFERENCE_TRAJ)
+        assert len(cameras) == 96
+        assert meta["camera_type"] == "perspective"
+        assert meta["seconds"] > 0
+        c2w = np.asarray(cameras.c2w)
+        assert c2w.shape == (96, 3, 4)
+        # rotations are orthonormal
+        rtr = np.einsum("nij,nkj->nik", c2w[:, :, :3], c2w[:, :, :3])
+        np.testing.assert_allclose(rtr, np.tile(np.eye(3), (96, 1, 1)), atol=1e-4)
+        # focal follows the three.js vertical-fov convention
+        h = int(np.asarray(cameras.height)[0])
+        assert np.all(np.asarray(cameras.fx) > 0)
+        assert np.all(np.asarray(cameras.cx) == pytest.approx(np.asarray(cameras.width)[0] / 2))

@@ -332,3 +332,36 @@ class TestHashBackward:
         assert out[3].tolist() == [2.0, 2.0]
         assert out[7].tolist() == [1.0, 1.0]
         assert np.abs(out).sum() == 6.0
+
+
+class TestHashCustomVJP:
+    def test_grads_match_xla_autodiff(self):
+        """The custom scalar-scatter backward must match plain XLA autodiff
+        of the forward exactly (both table and position grads)."""
+        from thermo_tpu.ops.hash_encoding import _hash_forward
+
+        spec = HashGridSpec(num_levels=3, base_res=4, max_res=16, log2_hashmap_size=9)
+        table = init_hash_table(jax.random.PRNGKey(0), spec) * 1e3  # non-tiny
+        p = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=0.01, maxval=0.99)
+        g_out = jax.random.normal(jax.random.PRNGKey(2), (64, spec.out_dim))
+
+        def loss_custom(t, pp):
+            return jnp.vdot(hash_encode(t, pp, spec), g_out)
+
+        def loss_ref(t, pp):
+            return jnp.vdot(_hash_forward(t, pp, spec), g_out)
+
+        gt_c, gp_c = jax.grad(loss_custom, argnums=(0, 1))(table, p)
+        gt_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(table, p)
+        np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_r), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gp_r), rtol=1e-3, atol=1e-4)
+
+    def test_position_grad_on_grid_plane(self):
+        """Points exactly on a grid plane must not produce NaN/garbage grads
+        (the division-free dw/dfrac path)."""
+        spec = HashGridSpec(num_levels=1, base_res=4, max_res=4, log2_hashmap_size=8)
+        table = init_hash_table(jax.random.PRNGKey(0), spec)
+        # scaled = p*3 + 0.5 integer => frac = 0 exactly
+        p = jnp.asarray([[0.5 / 3.0, 0.5, 0.5]])
+        g = jax.grad(lambda pp: jnp.sum(hash_encode(table, pp, spec)))(p)
+        assert np.all(np.isfinite(np.asarray(g)))

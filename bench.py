@@ -36,6 +36,15 @@ def _init_jax():
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grad-corners", type=int, default=None,
+                    help="override model.hash_grad_corners (0 = exact)")
+    ap.add_argument("--prop-fwd-corners", type=int, default=None,
+                    help="override model.proposal_fwd_corners (0 = exact)")
+    args = ap.parse_args()
+
     jax = _init_jax()
     import jax.numpy as jnp
 
@@ -45,6 +54,15 @@ def main() -> None:
 
     cfg = thermal_nerf_config()
     cfg.steps_per_jit_loop = 10
+    import dataclasses as _dc
+
+    overrides = {}
+    if args.grad_corners is not None:
+        overrides["hash_grad_corners"] = args.grad_corners
+    if args.prop_fwd_corners is not None:
+        overrides["proposal_fwd_corners"] = args.prop_fwd_corners
+    if overrides:
+        cfg.model = _dc.replace(cfg.model, **overrides)
     num_cameras, h, w = 16, 480, 640
     rng = np.random.default_rng(0)
 

@@ -9,7 +9,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from tests.synthetic_scene import make_synthetic_scene
+from thermo_scenes_tpu.synthetic import make_synthetic_scene
 from thermo_tpu.data.cameras import Cameras, generate_rays
 from thermo_tpu.data.dataparser import (
     DataparserConfig,

@@ -349,7 +349,7 @@ class TestHashCustomVJP:
             return jnp.vdot(hash_encode(t, pp, spec), g_out)
 
         def loss_ref(t, pp):
-            return jnp.vdot(_hash_forward(t, pp, spec), g_out)
+            return jnp.vdot(_hash_forward(t, pp, spec)[0], g_out)
 
         gt_c, gp_c = jax.grad(loss_custom, argnums=(0, 1))(table, p)
         gt_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(table, p)
@@ -365,3 +365,158 @@ class TestHashCustomVJP:
         p = jnp.asarray([[0.5 / 3.0, 0.5, 0.5]])
         g = jax.grad(lambda pp: jnp.sum(hash_encode(table, pp, spec)))(p)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestStochasticCorners:
+    """hash_grad_corners / fwd_corners: unbiased stochastic-trilinear modes."""
+
+    def _setup(self):
+        spec = HashGridSpec(num_levels=2, base_res=4, max_res=8, log2_hashmap_size=8)
+        table = init_hash_table(jax.random.PRNGKey(0), spec) * 1e3
+        p = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=0.01, maxval=0.99)
+        return spec, table, p
+
+    def test_grad_corners_unbiased(self):
+        """With many sampled corners the stochastic table gradient converges
+        to the exact one (law of large numbers on the Categorical(w) draws)."""
+        spec, table, p = self._setup()
+        g_out = jax.random.normal(jax.random.PRNGKey(2), (32, spec.out_dim))
+
+        def loss(t, k):
+            return jnp.vdot(hash_encode(t, p, spec, grad_corners=k), g_out)
+
+        g_exact = np.asarray(jax.grad(lambda t: loss(t, 0))(table))
+        g_stoch = np.asarray(jax.grad(lambda t: loss(t, 2048))(table))
+        scale = np.abs(g_exact).max()
+        np.testing.assert_allclose(g_stoch, g_exact, atol=0.1 * scale)
+
+    def test_grad_corners_preserves_position_grad(self):
+        """Position gradients are exact regardless of grad_corners."""
+        spec, table, p = self._setup()
+
+        def loss(pp, k):
+            return jnp.sum(hash_encode(table, pp, spec, grad_corners=k) ** 2)
+
+        gp_exact = np.asarray(jax.grad(lambda pp: loss(pp, 0))(p))
+        gp_stoch = np.asarray(jax.grad(lambda pp: loss(pp, 2))(p))
+        np.testing.assert_allclose(gp_stoch, gp_exact, rtol=1e-5, atol=1e-6)
+
+    def test_grad_corners_hits_subset_of_exact_rows(self):
+        """k=2 sampled-corner gradients only touch rows the exact gradient
+        touches, with total mass preserved per (level, feature)."""
+        spec, table, p = self._setup()
+        g_out = jnp.ones((32, spec.out_dim))
+
+        def loss(t, k):
+            return jnp.vdot(hash_encode(t, p, spec, grad_corners=k), g_out)
+
+        g_exact = np.asarray(jax.grad(lambda t: loss(t, 0))(table))
+        g_stoch = np.asarray(jax.grad(lambda t: loss(t, 2))(table))
+        assert np.all((g_stoch != 0) <= (g_exact != 0))
+        # trilinear weights sum to 1 => per-level total gradient mass matches
+        np.testing.assert_allclose(
+            g_stoch.sum(axis=1), g_exact.sum(axis=1), rtol=1e-4, atol=1e-5
+        )
+
+    def test_fwd_corners_unbiased_output(self):
+        """Stochastic-trilinear forward converges to exact trilinear as the
+        number of sampled corners grows."""
+        spec, table, p = self._setup()
+        exact = np.asarray(hash_encode(table, p, spec))
+        approx = np.asarray(hash_encode(table, p, spec, fwd_corners=4096))
+        scale = np.abs(exact).max()
+        np.testing.assert_allclose(approx, exact, atol=0.1 * scale)
+
+    def test_fwd_corners_table_grad_unbiased(self):
+        spec, table, p = self._setup()
+        g_out = jax.random.normal(jax.random.PRNGKey(3), (32, spec.out_dim))
+
+        def loss(t, fc):
+            return jnp.vdot(hash_encode(t, p, spec, fwd_corners=fc), g_out)
+
+        g_exact = np.asarray(jax.grad(lambda t: loss(t, 0))(table))
+        g_stoch = np.asarray(jax.grad(lambda t: loss(t, 4096))(table))
+        scale = np.abs(g_exact).max()
+        np.testing.assert_allclose(g_stoch, g_exact, atol=0.1 * scale)
+
+    def test_fwd_corners_zero_position_grad(self):
+        """fwd_corners mode stops position gradients (documented)."""
+        spec, table, p = self._setup()
+        gp = jax.grad(
+            lambda pp: jnp.sum(hash_encode(table, pp, spec, fwd_corners=2))
+        )(p)
+        assert float(jnp.abs(gp).max()) == 0.0
+
+    def test_model_forward_with_tpu_knobs(self):
+        """Full model forward/backward runs with both knobs enabled."""
+        from thermo_tpu.models.thermal_nerf import (
+            ModelConfig,
+            ProposalNetArgs,
+            ThermoNerfModel,
+        )
+        from thermo_tpu.data.cameras import RayBundle
+
+        cfg = ModelConfig(
+            num_levels=2,
+            max_res=32,
+            log2_hashmap_size=8,
+            num_proposal_samples_per_ray=(8, 4),
+            num_nerf_samples_per_ray=4,
+            proposal_net_args_list=(
+                ProposalNetArgs(num_levels=2, max_res=16, log2_hashmap_size=7, hidden_dim=8),
+            )
+            * 2,
+            far_plane=4.0,
+            compute_dtype="float32",
+            hash_grad_corners=2,
+            proposal_fwd_corners=2,
+        )
+        model = ThermoNerfModel(cfg, ((-1.0,) * 3, (1.0,) * 3), num_train_images=2)
+        params = model.init_params(jax.random.PRNGKey(0))
+        d = np.random.default_rng(0).normal(size=(8, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = RayBundle(
+            origins=jnp.zeros((8, 3)),
+            directions=jnp.asarray(d, jnp.float32),
+            camera_indices=jnp.zeros((8,), jnp.int32),
+        )
+
+        def loss_fn(prm):
+            out = model.forward(prm, rays, jax.random.PRNGKey(1), step=100.0)
+            total, _ = model.losses(
+                prm, out, jnp.ones((8, 3)) * 0.5, jnp.ones((8, 1)) * 0.5
+            )
+            return total
+
+        val, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(val))
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+        # the shared field table must receive gradient in stochastic mode
+        ftab = grads["fields"]["grid"]["table"]
+        assert float(jnp.abs(ftab).sum()) > 0.0
+
+    def test_density_field_grads_flow_through_fwd_corners(self):
+        """HashMLPDensityField with stochastic-trilinear forward still
+        trains: table and MLP receive nonzero gradients."""
+        from thermo_tpu.models.field import HashMLPDensityField
+
+        net = HashMLPDensityField(
+            aabb=((-1.0,) * 3, (1.0,) * 3),
+            num_levels=2,
+            max_res=16,
+            log2_hashmap_size=7,
+            hidden_dim=8,
+            fwd_corners=2,
+            compute_dtype=jnp.float32,
+        )
+        p = jax.random.uniform(
+            jax.random.PRNGKey(0), (16, 3), minval=-0.5, maxval=0.5
+        )
+        v = net.init(jax.random.PRNGKey(1), p)
+        g = jax.grad(lambda prm: jnp.sum(net.apply({"params": prm}, p)))(
+            v["params"]
+        )
+        sums = jax.tree_util.tree_map(lambda x: float(jnp.abs(x).sum()), g)
+        assert sums["HashEncoding_0"]["table"] > 0.0
+        assert sums["MLP_0"]["dense_0"]["bias"] > 0.0

@@ -9,7 +9,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from tests.synthetic_scene import make_synthetic_scene
+from thermo_scenes_tpu.synthetic import make_synthetic_scene
 from thermo_tpu.configs.methods import thermal_nerf_tiny_config
 from thermo_tpu.engine import checkpoints as ckpt
 from thermo_tpu.engine.evaluator import Evaluator
@@ -127,7 +127,7 @@ class TestRenderer:
         frames = []
         for i in range(3):
             a = 2 * math.pi * i / 3
-            from tests.synthetic_scene import look_at_pose
+            from thermo_scenes_tpu.synthetic import look_at_pose
 
             c2w = look_at_pose(
                 np.array([1.5 * math.cos(a), 1.5 * math.sin(a), 0.8]), np.zeros(3)

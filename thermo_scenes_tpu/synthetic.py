@@ -1,8 +1,12 @@
-"""Synthetic ThermoScenes-style fixture: a textured sphere with a thermal
-hotspot, rendered analytically (ray-sphere intersection) into a
+"""Synthetic ThermoScenes-style scene generator: a textured sphere with a
+thermal hotspot, rendered analytically (ray-sphere intersection) into a
 transforms.json dataset with ``thermal_file_path`` per frame and
 train/eval filename split — the shape of data produced by the reference's
-thermo_scenes preprocessing (SURVEY §3.5)."""
+thermo_scenes preprocessing (SURVEY §3.5).
+
+Used by the test suite (tests/test_data.py, tests/test_train_e2e.py) and by
+``thermo_tpu.scripts.quality_ablation`` for measured speed/quality
+trade-off reports on real TPU hardware."""
 
 from __future__ import annotations
 

@@ -33,24 +33,42 @@ from thermo_tpu.ops.sh import sh_dim, sh_encoding
 
 
 class HashEncoding(nn.Module):
-    """Parameter holder for one multires hash table."""
+    """Parameter holder for one multires hash table.
+
+    ``grad_corners`` / ``fwd_corners``: stochastic-corner modes (0 = exact
+    trilinear); see ``thermo_tpu.ops.hash_encoding.hash_encode``.
+    """
 
     spec: HashGridSpec
     param_dtype: jnp.dtype = jnp.float32
+    grad_corners: int = 0
+    fwd_corners: int = 0
 
     @nn.compact
     def __call__(self, positions: Array) -> Array:
+        # The parameter is stored FLAT [L, T*F], not [L, T, F]: a minor dim
+        # of F=2 invites XLA to materialize table-shaped tensors (gradients,
+        # Adam moments) in T(8,128) tiling, padding 2 -> 128 lanes — a 64x
+        # expansion measured as a 4GB optimizer-state copy / HBM OOM on v5e.
+        # Flat rows tile perfectly; hash_encode reshapes (a bitcast) on entry.
+        spec = self.spec
         table = self.param(
             "table",
             lambda key: jax.random.uniform(
                 key,
-                (self.spec.num_levels, self.spec.table_size, self.spec.features_per_level),
+                (spec.num_levels, spec.table_size * spec.features_per_level),
                 dtype=self.param_dtype,
                 minval=-1e-4,
                 maxval=1e-4,
             ),
         )
-        return hash_encode(table, positions, self.spec)
+        return hash_encode(
+            table.reshape(spec.num_levels, spec.table_size, spec.features_per_level),
+            positions,
+            spec,
+            grad_corners=self.grad_corners,
+            fwd_corners=self.fwd_corners,
+        )
 
 
 class ThermalNerfactoField(nn.Module):
@@ -90,6 +108,7 @@ class ThermalNerfactoField(nn.Module):
     num_layers_transient: int = 2
     use_pred_normals: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
+    hash_grad_corners: int = 0  # 0 = exact table gradients
 
     def setup(self):
         self.grid = HashEncoding(
@@ -99,7 +118,8 @@ class ThermalNerfactoField(nn.Module):
                 log2_hashmap_size=self.log2_hashmap_size,
                 base_res=self.base_res,
                 max_res=self.max_res,
-            )
+            ),
+            grad_corners=self.hash_grad_corners,
         )
         self.mlp_base = MLP(
             num_layers=self.num_layers,
@@ -293,6 +313,8 @@ class HashMLPDensityField(nn.Module):
     use_contraction: bool = True
     average_init_density: float = 1.0
     compute_dtype: jnp.dtype = jnp.bfloat16
+    hash_grad_corners: int = 0
+    fwd_corners: int = 0  # stochastic-trilinear forward (0 = exact)
 
     @nn.compact
     def __call__(self, positions: Array) -> Array:
@@ -310,7 +332,9 @@ class HashMLPDensityField(nn.Module):
                 log2_hashmap_size=self.log2_hashmap_size,
                 base_res=self.base_res,
                 max_res=self.max_res,
-            )
+            ),
+            grad_corners=self.hash_grad_corners,
+            fwd_corners=self.fwd_corners,
         )(p)
         if self.use_linear:
             h = nn.Dense(1, dtype=self.compute_dtype)(feats.astype(self.compute_dtype))

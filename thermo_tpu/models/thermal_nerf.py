@@ -131,6 +131,17 @@ class ModelConfig:
     # numerics
     compute_dtype: str = "bfloat16"
 
+    # TPU throughput knobs (0 = exact trilinear everywhere — full reference
+    # parity). hash_grad_corners=k routes each table cotangent to k corners
+    # drawn ~ Categorical(trilinear weights) with value g/k (UNBIASED, 8/k
+    # less scatter traffic; position grads stay exact). proposal_fwd_corners=k
+    # evaluates proposal hash features as the mean of k sampled corners
+    # (unbiased features, 8/k less gather+scatter; proposal encodings stop
+    # carrying position gradients). See ops/hash_encoding.py and
+    # PERFORMANCE.md for measured speed/quality trade-offs.
+    hash_grad_corners: int = 0
+    proposal_fwd_corners: int = 0
+
     def sampler_config(self) -> ProposalSamplerConfig:
         return ProposalSamplerConfig(
             num_nerf_samples_per_ray=self.num_nerf_samples_per_ray,
@@ -177,6 +188,7 @@ class ThermoNerfModel:
             use_transient_embedding=config.use_transient_embedding,
             use_pred_normals=config.predict_normals,
             compute_dtype=dtype,
+            hash_grad_corners=config.hash_grad_corners,
         )
         n = config.num_proposal_iterations
         if config.use_same_proposal_network:
@@ -203,6 +215,7 @@ class ThermoNerfModel:
                 use_contraction=not config.disable_scene_contraction,
                 average_init_density=config.average_init_density,
                 compute_dtype=dtype,
+                fwd_corners=config.proposal_fwd_corners,
             )
             for a in args_list
         ]

@@ -145,7 +145,13 @@ def _corner_weights(frac: Array) -> Array:
     )
 
 
-def hash_encode(table: Array, positions: Array, spec: HashGridSpec) -> Array:
+def hash_encode(
+    table: Array,
+    positions: Array,
+    spec: HashGridSpec,
+    grad_corners: int = 0,
+    fwd_corners: int = 0,
+) -> Array:
     """Encode positions through the multires hash grid.
 
     ``table``: [L, T, F] parameters. ``positions``: [..., 3] in [0, 1]^3.
@@ -158,14 +164,33 @@ def hash_encode(table: Array, positions: Array, spec: HashGridSpec) -> Array:
     (N is a multiple of the lane width in practice), and the single final
     transpose back to [N, L*F] is cheap.
 
-    The backward pass is a custom VJP (see ``_hash_encode_bwd``): XLA's
-    scatter-add costs ~60-76ns per [F=2]-row update on v5e but only ~10ns per
-    SCALAR update, so the table gradient folds the feature dim into the
-    index and issues per-level scalar scatters — measured ~4x faster with
-    identical numerics.
+    The backward pass is a custom VJP: XLA's scatter-add costs ~45ns per
+    [F=2]-row update on v5e but only ~9ns per SCALAR update, so the table
+    gradient folds the feature dim into the index and issues scalar
+    scatters; the forward-gathered corner features are saved as residuals so
+    the position gradient needs no second gather.
+
+    ``grad_corners`` (0 = exact): UNBIASED stochastic table gradient — per
+    (point, level), route the cotangent to ``grad_corners`` corners drawn
+    from Categorical(trilinear weights) with value g/k instead of all 8
+    corners with value w_c*g. E[estimate] = sum_c w_c g exactly; scatter
+    traffic drops 8/k. Position gradients stay exact. Randomness is derived
+    statelessly from the sample coordinates (fresh every step because ray
+    jitter never repeats positions).
+
+    ``fwd_corners`` (0 = exact): stochastic trilinear FORWARD — evaluate the
+    mean of ``fwd_corners`` Categorical(w)-sampled corner features instead
+    of the 8-corner weighted sum (unbiased for the encoding itself). Gather
+    and scatter traffic both drop 8/k. Position gradients through the
+    encoding are zero in this mode — intended for proposal density fields
+    only (their position gradients only tune the camera optimizer slightly).
     """
     batch_shape = positions.shape[:-1]
-    out = _hash_encode_vjp(table, positions.reshape(-1, 3), spec)
+    p = positions.reshape(-1, 3)
+    if fwd_corners:
+        out = _hash_encode_stoch(table, p, spec, int(fwd_corners))
+    else:
+        out = _hash_encode_vjp(table, p, spec, int(grad_corners))
     return out.reshape(*batch_shape, spec.out_dim)
 
 
@@ -176,6 +201,7 @@ def _gather_feats(table: Array, flat_idx: Array, spec: HashGridSpec) -> Array:
 
 
 def _hash_forward(table: Array, positions: Array, spec: HashGridSpec):
+    """Returns (out [N, L*F], feats [F,L,8,N], idx [L,8,N], frac [L,3,N])."""
     idx, frac = _hash_corners(spec, positions)  # [L,8,N], [L,3,N]
     level_offset = (
         jnp.arange(spec.num_levels, dtype=jnp.int32)[:, None, None] * spec.table_size
@@ -185,53 +211,126 @@ def _hash_forward(table: Array, positions: Array, spec: HashGridSpec):
     w = _corner_weights(frac)  # [L, 8, N]
     out = jnp.sum(feats * w[None].astype(feats.dtype), axis=2)  # [F, L, N]
     n = positions.shape[0]
-    return jnp.transpose(out, (2, 1, 0)).reshape(n, spec.out_dim)
+    return jnp.transpose(out, (2, 1, 0)).reshape(n, spec.out_dim), feats, idx, frac
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _hash_encode_vjp(table: Array, positions: Array, spec: HashGridSpec) -> Array:
-    return _hash_forward(table, positions, spec)
+def _derived_uniforms(idx0: Array, frac: Array, k: int, salt: int = 0x9E3779B9):
+    """Stateless per-(draw, level, point) uniforms in [0, 1).
+
+    Seeds from the corner-0 hash index and the fractional coordinate bits:
+    ray jitter makes positions fresh every step, so these uniforms are fresh
+    every step without threading a PRNG key through the VJP.
+    ``idx0``: [L, N] int32; ``frac``: [L, 3, N] f32. Returns [k, L, N] f32.
+    """
+    bits = jax.lax.bitcast_convert_type(frac, jnp.uint32)  # [L, 3, N]
+    h = idx0.astype(jnp.uint32)
+    h = h ^ (bits[:, 0] * jnp.uint32(0x85EBCA6B))
+    h = h ^ (bits[:, 1] * jnp.uint32(0xC2B2AE35))
+    h = h ^ (bits[:, 2] * jnp.uint32(0x27D4EB2F))
+    draw = (jnp.arange(k, dtype=jnp.uint32) + 1)[:, None, None] * jnp.uint32(salt)
+    hs = h[None] ^ draw  # [k, L, N]
+    # murmur3-style finalizer
+    hs = hs ^ (hs >> 16)
+    hs = hs * jnp.uint32(0x7FEB352D)
+    hs = hs ^ (hs >> 15)
+    hs = hs * jnp.uint32(0x846CA68B)
+    hs = hs ^ (hs >> 16)
+    return (hs >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
 
 
-def _hash_encode_vjp_fwd(table, positions, spec):
-    return _hash_forward(table, positions, spec), (table, positions)
+def _sample_corners(idx: Array, frac: Array, w: Array, k: int) -> Array:
+    """Draw k corners per (level, point) ~ Categorical(trilinear weights).
+
+    ``idx``: [L,8,N]; ``frac``: [L,3,N]; ``w``: [L,8,N] (sums to 1 over
+    corners). Returns selected table indices [L, k, N] (per-level, in [0,T)).
+    """
+    u = _derived_uniforms(idx[:, 0, :], frac, k)  # [k, L, N]
+    cdf = jnp.cumsum(w, axis=1)  # [L, 8, N]
+    corner = jnp.sum(
+        (u[:, :, None, :] >= cdf[None]).astype(jnp.int32), axis=2
+    )  # [k, L, N]
+    corner = jnp.minimum(corner, 7)
+    return jnp.take_along_axis(idx, jnp.transpose(corner, (1, 0, 2)), axis=1)
 
 
-def _hash_encode_vjp_bwd(spec: HashGridSpec, res, g):
+def _scatter_scalar_fused(
+    idx_sel: Array, vals: Array, spec: HashGridSpec, dtype
+) -> Array:
+    """One fused scalar scatter-add over all levels.
+
+    ``idx_sel``: [L, K, N] per-level indices; ``vals``: [F, L, K, N] f32
+    (already scaled). Returns d_table [L, T, F]."""
+    L, T, F = spec.num_levels, spec.table_size, spec.features_per_level
+    level_off = jnp.arange(L, dtype=jnp.int32)[:, None, None] * T
+    flat = ((idx_sel + level_off)[None] * F) + jnp.arange(F, dtype=jnp.int32)[
+        :, None, None, None
+    ]  # [F, L, K, N]
+    d = jnp.zeros((L * T * F,), jnp.float32).at[flat.reshape(-1)].add(
+        vals.reshape(-1)
+    )
+    return d.reshape(L, T, F).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _hash_encode_vjp(
+    table: Array, positions: Array, spec: HashGridSpec, grad_corners: int = 0
+) -> Array:
+    return _hash_forward(table, positions, spec)[0]
+
+
+def _hash_encode_vjp_fwd(table, positions, spec, grad_corners):
+    # Residuals are deliberately (table, positions), NOT the gathered corner
+    # features: the train step runs under a lax.scan over steps_per_jit_loop
+    # iterations, and scan AD stacks every residual across iterations —
+    # saving feats ([F,L,8,N] f32, ~660MB across the three fields) residualizes
+    # ~6.6GB at 10 steps/scan (measured HBM OOM on v5e). Recomputing the
+    # corner geometry + one re-gather in bwd costs ~45ms/step instead.
+    return _hash_forward(table, positions, spec)[0], (table, positions)
+
+
+def _hash_encode_vjp_bwd(spec: HashGridSpec, grad_corners: int, res, g):
     """g: [N, L*F] cotangent.
 
-    d_table: per-level SCALAR scatters (feature dim folded into the index) —
-    ~4x cheaper than row scatters on TPU (see module docstring).
-    d_positions: chain through the trilinear weights (dw/dfrac) and the
-    level scaling; needs a re-gather of the corner features.
+    d_table: scalar scatters (feature dim folded into the index — ~5x
+    cheaper than row scatters on v5e, see kernel_microbench). Exact mode
+    scatters all 8 corners weighted by w; ``grad_corners=k`` scatters k
+    Categorical(w)-sampled corners with value g/k (unbiased, 8/k less
+    traffic). d_positions: exact via the residual features.
     """
     table, positions = res
+    table_dtype, pos_dtype = table.dtype, positions.dtype
     L, T, F = spec.num_levels, spec.table_size, spec.features_per_level
-    n = positions.shape[0]
+    n = g.shape[0]
     idx, frac = _hash_corners(spec, positions)  # [L,8,N], [L,3,N]
     w = _corner_weights(frac)  # [L, 8, N]
 
     # cotangent to channels-first [F, L, N]
     g_cf = jnp.transpose(g.reshape(n, L, F), (2, 1, 0)).astype(jnp.float32)
 
-    # ---- d_table: one scalar scatter per level ----
-    # values per (corner, feature, point): w[l, c, n] * g_cf[f, l, n]
-    d_levels = []
-    feature_off = jnp.arange(F, dtype=jnp.int32)[None, :, None]  # [1, F, 1]
-    for l in range(L):
-        idx_l = idx[l]  # [8, N]
-        vals = w[l][:, None, :] * g_cf[:, l, :][None, :, :]  # [8, F, N]
-        scalar_idx = idx_l[:, None, :] * F + feature_off  # [8, F, N]
-        d_flat = jnp.zeros((T * F,), jnp.float32).at[scalar_idx.reshape(-1)].add(
-            vals.reshape(-1)
-        )
-        d_levels.append(d_flat.reshape(T, F))
-    d_table = jnp.stack(d_levels).astype(table.dtype)  # [L, T, F]
+    # ---- d_table ----
+    if grad_corners:
+        k = int(grad_corners)
+        idx_sel = _sample_corners(idx, frac, w, k)  # [L, k, N]
+        vals = jnp.broadcast_to(
+            (g_cf / k)[:, :, None, :], (F, L, k, n)
+        )  # [F, L, k, N]
+        d_table = _scatter_scalar_fused(idx_sel, vals, spec, table_dtype)
+    else:
+        # exact: one scalar scatter per level
+        d_levels = []
+        feature_off = jnp.arange(F, dtype=jnp.int32)[None, :, None]  # [1, F, 1]
+        for l in range(L):
+            idx_l = idx[l]  # [8, N]
+            vals = w[l][:, None, :] * g_cf[:, l, :][None, :, :]  # [8, F, N]
+            scalar_idx = idx_l[:, None, :] * F + feature_off  # [8, F, N]
+            d_flat = jnp.zeros((T * F,), jnp.float32).at[
+                scalar_idx.reshape(-1)
+            ].add(vals.reshape(-1))
+            d_levels.append(d_flat.reshape(T, F))
+        d_table = jnp.stack(d_levels).astype(table_dtype)  # [L, T, F]
 
-    # ---- d_positions ----
-    level_offset = (
-        jnp.arange(L, dtype=jnp.int32)[:, None, None] * T
-    )
+    # ---- d_positions (exact; needs one re-gather of the corner feats) ----
+    level_offset = jnp.arange(L, dtype=jnp.int32)[:, None, None] * T
     feats = _gather_feats(table, idx + level_offset, spec).astype(jnp.float32)
     # per-corner upstream: s[l, c, n] = sum_f feats[f,l,c,n] * g_cf[f,l,n]
     s = jnp.einsum("flcn,fln->lcn", feats, g_cf)  # [L, 8, N]
@@ -256,7 +355,57 @@ def _hash_encode_vjp_bwd(spec: HashGridSpec, res, g):
     d_frac = jnp.einsum("lcn,lcdn->ldn", s, dw_dfrac)  # [L, 3, N]
     scales = jnp.asarray(spec.scales, dtype=jnp.float32)  # [L]
     d_p = jnp.sum(d_frac * scales[:, None, None], axis=0).T  # [N, 3]
-    return d_table, d_p.astype(positions.dtype)
+    return d_table, d_p.astype(pos_dtype)
 
 
 _hash_encode_vjp.defvjp(_hash_encode_vjp_fwd, _hash_encode_vjp_bwd)
+
+
+# ----------------------------------------------------------------------
+# stochastic-trilinear forward (proposal fields)
+# ----------------------------------------------------------------------
+def _stoch_forward(table: Array, positions: Array, spec: HashGridSpec, k: int):
+    idx, frac = _hash_corners(spec, positions)
+    w = _corner_weights(frac)
+    idx_sel = _sample_corners(idx, frac, w, k)  # [L, k, N]
+    level_off = jnp.arange(spec.num_levels, dtype=jnp.int32)[:, None, None] * (
+        spec.table_size
+    )
+    feats = _gather_feats(table, idx_sel + level_off, spec)  # [F, L, k, N]
+    out = jnp.mean(feats, axis=2)  # [F, L, N] — E[out] = sum_c w_c f_c
+    n = positions.shape[0]
+    return jnp.transpose(out, (2, 1, 0)).reshape(n, spec.out_dim), idx_sel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _hash_encode_stoch(
+    table: Array, positions: Array, spec: HashGridSpec, k: int
+) -> Array:
+    return _stoch_forward(table, positions, spec, k)[0]
+
+
+def _hash_encode_stoch_fwd(table, positions, spec, k):
+    out, _ = _stoch_forward(table, positions, spec, k)
+    # residual = positions only (scan AD stacks residuals — see
+    # _hash_encode_vjp_fwd); the corner draws are recomputed in bwd and match
+    # exactly because _derived_uniforms is a pure function of the geometry.
+    return out, (jnp.zeros((), table.dtype), positions)
+
+
+def _hash_encode_stoch_bwd(spec: HashGridSpec, k: int, res, g):
+    """Table gradient of the sampled-corner mean; position gradient is zero
+    (the sampled forward is piecewise-constant in position — documented
+    limitation of fwd_corners mode, fine for proposal density fields)."""
+    table_proto, positions = res
+    L, F = spec.num_levels, spec.features_per_level
+    n = g.shape[0]
+    idx, frac = _hash_corners(spec, positions)
+    w = _corner_weights(frac)
+    idx_sel = _sample_corners(idx, frac, w, k)  # same draws as forward
+    g_cf = jnp.transpose(g.reshape(n, L, F), (2, 1, 0)).astype(jnp.float32)
+    vals = jnp.broadcast_to((g_cf / k)[:, :, None, :], (F, L, k, n))
+    d_table = _scatter_scalar_fused(idx_sel, vals, spec, table_proto.dtype)
+    return d_table, jnp.zeros_like(positions)
+
+
+_hash_encode_stoch.defvjp(_hash_encode_stoch_fwd, _hash_encode_stoch_bwd)

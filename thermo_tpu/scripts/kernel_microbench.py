@@ -1,0 +1,199 @@
+"""Microbenchmarks for the hash-table memory primitives that dominate the
+train step (PERFORMANCE.md: >90% of step time is hash gather/scatter).
+
+Each case is shaped like the real workload: the final field does
+``N = 196608 samples x 8 corners = 1.57M`` lookups per level into a
+``T = 2^19`` table with ``F = 2`` features, 16 levels; the two proposal
+fields add 1.05M/0.39M samples x 5 levels.
+
+Run: ``python -m thermo_tpu.scripts.kernel_microbench [--quick]``
+Prints one line per case: name, total ms, ns per element.
+
+Timing protocol for tunneled TPUs: ops are repeated inside one jit with a
+data dependency chaining iterations, and the clock stops on a host fetch of
+a scalar (block_until_ready does not synchronize through the tunnel).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x) -> float:
+    return float(jnp.ravel(x)[0])
+
+
+def timed(fn, *args, reps: int = 4) -> float:
+    """Median wall-clock seconds of fn(*args), host-fetch synchronized."""
+    out = fn(*args)  # compile + warm
+    _sync(out if not isinstance(out, tuple) else out[0])
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _sync(out if not isinstance(out, tuple) else out[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def chain(op, n_iter: int):
+    """Repeat op inside one jit; op(carry, x) -> carry must depend on x."""
+
+    @jax.jit
+    def run(x0, *rest):
+        def body(i, carry):
+            return op(carry, *rest)
+
+        return jax.lax.fori_loop(0, n_iter, body, x0)
+
+    return run
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    N = 1 << 18 if args.quick else 1_572_864  # corner lookups per level
+    T = 1 << 19
+    L = 16
+    reps = 2 if args.quick else 4
+    n_iter = 2 if args.quick else 4
+
+    key = jax.random.PRNGKey(0)
+    kt, ki, kg = jax.random.split(key, 3)
+    idx = jax.random.randint(ki, (L, N), 0, T, jnp.int32)
+    results: list[tuple[str, float, float]] = []
+
+    def report(name: str, secs: float, elements: int):
+        per = secs / n_iter
+        results.append((name, per * 1e3, per / elements * 1e9))
+        print(f"{name:55s} {per * 1e3:10.2f} ms  {per / elements * 1e9:8.2f} ns/el", flush=True)
+
+    # ------------------------------------------------------------------
+    # 1. fused gather, stacked levels (the current forward path)
+    # ------------------------------------------------------------------
+    for F in (2, 8):
+        table_t = jax.random.normal(kt, (F, L * T), jnp.float32)
+        level_off = (jnp.arange(L, dtype=jnp.int32) * T)[:, None]
+        flat = idx + level_off
+
+        def op(carry, tbl, fi):
+            g = jnp.take(tbl, fi, axis=1)  # [F, L, N]
+            return carry + jnp.sum(g[:, :, :8])
+
+        run = chain(functools.partial(op), n_iter)
+        secs = timed(run, jnp.zeros(()), table_t, flat, reps=reps)
+        report(f"gather stacked [F={F}] ({L}x{N} idx)", secs, L * N)
+
+    # ------------------------------------------------------------------
+    # 2. scatter-add: scalar (feature folded into index), per level
+    # ------------------------------------------------------------------
+    for F in (2,):
+        vals = jax.random.normal(kg, (N * F,), jnp.float32)
+        sidx = (idx[0][:, None] * F + jnp.arange(F, dtype=jnp.int32)[None]).reshape(-1)
+
+        def op_sc(carry, si, v):
+            d = jnp.zeros((T * F,), jnp.float32).at[si].add(v + carry)
+            return jnp.sum(d[:8])
+
+        run = chain(op_sc, n_iter)
+        secs = timed(run, jnp.zeros(()), sidx, vals, reps=reps)
+        report(f"scatter scalar [F={F}] (1 level, {N * F} updates)", secs, N * F)
+
+    # ------------------------------------------------------------------
+    # 3. scatter-add: row, varying F
+    # ------------------------------------------------------------------
+    for F in (2, 4, 8, 16):
+        vals = jax.random.normal(kg, (N, F), jnp.float32)
+
+        def op_row(carry, si, v):
+            d = jnp.zeros((T, F), jnp.float32).at[si].add(v + carry)
+            return jnp.sum(d[:8, :])
+
+        run = chain(op_row, n_iter)
+        secs = timed(run, jnp.zeros(()), idx[0], vals, reps=reps)
+        report(f"scatter row [F={F}] (1 level, {N} rows)", secs, N)
+
+    # ------------------------------------------------------------------
+    # 4. sort costs (key-value) — feeds any segment-sum strategy
+    # ------------------------------------------------------------------
+    for n_sort in (N, 4 * N):
+        keys_ = jax.random.randint(ki, (n_sort,), 0, T, jnp.int32)
+        vals_ = jax.random.normal(kg, (n_sort,), jnp.float32)
+
+        def op_sort(carry, k_, v_):
+            sk, sv = jax.lax.sort_key_val(k_ + carry.astype(jnp.int32) * 0, v_)
+            return jnp.sum(sv[:8]) + sk[0].astype(jnp.float32) * 0
+
+        run = chain(op_sort, n_iter)
+        secs = timed(run, jnp.zeros(()), keys_, vals_, reps=reps)
+        report(f"sort_key_val ({n_sort} el)", secs, n_sort)
+
+    # ------------------------------------------------------------------
+    # 5. one-hot matmul segment-sum (small tables only)
+    # ------------------------------------------------------------------
+    for T_small in (4096, 16384):
+        idx_s = jax.random.randint(ki, (N,), 0, T_small, jnp.int32)
+        vals = jax.random.normal(kg, (N, 2), jnp.float32)
+        CH = 1 << 15  # chunk of points per onehot block
+
+        def op_oh(carry, si, v):
+            def body(c, args):
+                si_c, v_c = args
+                oh = (
+                    si_c[:, None] == jnp.arange(T_small, dtype=jnp.int32)[None]
+                ).astype(jnp.bfloat16)
+                return (
+                    c
+                    + jnp.dot(
+                        oh.T, v_c.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+                    ),
+                    0.0,
+                )
+
+            d, _ = jax.lax.scan(
+                body,
+                jnp.zeros((T_small, 2), jnp.float32),
+                (si.reshape(-1, CH), (v + carry).reshape(-1, CH, 2)),
+            )
+            return jnp.sum(d[:8])
+
+        run = chain(op_oh, n_iter)
+        secs = timed(run, jnp.zeros(()), idx_s, vals, reps=reps)
+        report(f"onehot-matmul segsum [T={T_small}] ({N} el)", secs, N)
+
+    # ------------------------------------------------------------------
+    # 6. sorted segment-sum: sort + diff-mask + scatter of unique rows
+    # ------------------------------------------------------------------
+    vals = jax.random.normal(kg, (N,), jnp.float32)
+
+    def op_seg(carry, k_, v_):
+        sk, sv = jax.lax.sort_key_val(k_, v_ + carry)
+        csum = jnp.cumsum(sv)
+        is_last = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
+        seg_end = jnp.where(is_last, csum, 0.0)
+        prev = jnp.concatenate([jnp.zeros((1,)), jnp.where(is_last, csum, 0.0)[:-1]])
+        # scatter only unique rows (still N stores worst-case)
+        d = jnp.zeros((T,), jnp.float32).at[jnp.where(is_last, sk, T)].add(
+            seg_end - jnp.maximum.accumulate(prev), mode="drop"
+        )
+        return jnp.sum(d[:8])
+
+    run = chain(op_seg, n_iter)
+    secs = timed(run, jnp.zeros(()), idx[0], vals, reps=reps)
+    report(f"sort+cumsum+unique-scatter ({N} el)", secs, N)
+
+    print("\nSummary (ns/el):")
+    for name, ms, ns in results:
+        print(f"  {name:55s} {ns:8.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Quality ablation: exact trilinear vs the TPU stochastic-corner estimators.
+
+Trains the SAME full-scale thermal-nerf model (16x2^19 hash grid, 256/96
+proposal + 48 final samples) on the synthetic ThermoScenes-style sphere
+scene (thermo_scenes_tpu.synthetic) under each estimator configuration and
+reports the evaluator metrics side by side, so every claim in
+PERFORMANCE.md about the ``thermal-nerf-tpu`` preset's quality is a measured
+number, not an assertion.
+
+Run (real TPU):
+    python -m thermo_tpu.scripts.quality_ablation --iterations 2000
+
+Writes ``ablation.json`` into the output folder and prints a table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+from thermo_tpu.utils.cli import parse_cli
+
+
+@dataclasses.dataclass
+class AblationParameters:
+    output: Path = Path("./outputs/quality_ablation")
+    iterations: int = 2000
+    image_size: int = 128
+    num_train: int = 24
+    num_eval: int = 4
+    # comma-separated variant list: name=grad_corners/prop_fwd_corners
+    variants: str = "exact=0/0,gc2=2/0,tpu=2/2"
+
+
+def main(params: AblationParameters) -> dict:
+    from thermo_scenes_tpu.synthetic import make_synthetic_scene
+    from thermo_tpu.scripts import train_eval as te
+
+    out_root = Path(params.output)
+    out_root.mkdir(parents=True, exist_ok=True)
+    scene = make_synthetic_scene(
+        out_root / "scene",
+        num_train=params.num_train,
+        num_eval=params.num_eval,
+        size=params.image_size,
+    )
+
+    results: dict[str, dict] = {}
+    for spec in params.variants.split(","):
+        name, knobs = spec.split("=")
+        gc, pf = (int(x) for x in knobs.split("/"))
+        print(f"=== variant {name}: hash_grad_corners={gc} "
+              f"proposal_fwd_corners={pf}", flush=True)
+        run_params = te.TrainingParameters(
+            experiment_name=f"ablation-{name}",
+            model_output_folder=out_root / name,
+            metrics_output_folder=out_root / name / "metrics",
+            data=scene,
+            max_num_iterations=params.iterations,
+            hash_grad_corners=gc,
+            proposal_fwd_corners=pf,
+        )
+        te.main(run_params)
+        metrics = json.loads(
+            (out_root / name / "metrics" / "metrics.json").read_text()
+        )
+        results[name] = {
+            k: v for k, v in metrics["results"].items() if k.endswith("_mean")
+        }
+
+    (out_root / "ablation.json").write_text(json.dumps(results, indent=2))
+    keys = sorted({k for r in results.values() for k in r})
+    header = "metric".ljust(28) + "".join(n.rjust(14) for n in results)
+    print("\n" + header)
+    for k in keys:
+        row = k.ljust(28) + "".join(
+            f"{results[n].get(k, float('nan')):14.4f}" for n in results
+        )
+        print(row)
+    return results
+
+
+def cli() -> None:
+    from thermo_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
+    main(parse_cli(AblationParameters))
+
+
+if __name__ == "__main__":
+    cli()

@@ -62,6 +62,10 @@ class TrainingParameters:
     method: Optional[str] = None  # override method preset by name
     tiny: bool = False  # use the CPU-runnable tiny preset
     resume: bool = False  # resume from the latest checkpoint in the exp dir
+    # TPU-throughput knobs (None = keep the method preset's values); see
+    # ModelConfig.hash_grad_corners / proposal_fwd_corners.
+    hash_grad_corners: Optional[int] = None
+    proposal_fwd_corners: Optional[int] = None
 
 
 def modalities_for(model_type: ModelType) -> list[RenderedImageModality]:
@@ -98,6 +102,13 @@ def main(parameters: TrainingParameters) -> Path:
         cold=parameters.cold,
         camera_optimizer_mode=parameters.camera_optimizer_mode,
     )
+    knob_overrides = {
+        k: getattr(parameters, k)
+        for k in ("hash_grad_corners", "proposal_fwd_corners")
+        if getattr(parameters, k) is not None
+    }
+    if knob_overrides:
+        config.model = dataclasses.replace(config.model, **knob_overrides)
 
     pipe = build_pipeline(config)
     assert pipe.train_stack is not None and pipe.train_outputs is not None

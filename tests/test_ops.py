@@ -390,16 +390,19 @@ class TestStochasticCorners:
         scale = np.abs(g_exact).max()
         np.testing.assert_allclose(g_stoch, g_exact, atol=0.1 * scale)
 
-    def test_grad_corners_preserves_position_grad(self):
-        """Position gradients are exact regardless of grad_corners."""
+    def test_grad_corners_position_grad_unbiased(self):
+        """grad_corners>0 estimates position gradients from the sampled
+        corners (importance-weighted); with many draws it converges to the
+        exact trilinear gradient (up to the documented w>=1/64 clamp)."""
         spec, table, p = self._setup()
 
         def loss(pp, k):
             return jnp.sum(hash_encode(table, pp, spec, grad_corners=k) ** 2)
 
         gp_exact = np.asarray(jax.grad(lambda pp: loss(pp, 0))(p))
-        gp_stoch = np.asarray(jax.grad(lambda pp: loss(pp, 2))(p))
-        np.testing.assert_allclose(gp_stoch, gp_exact, rtol=1e-5, atol=1e-6)
+        gp_stoch = np.asarray(jax.grad(lambda pp: loss(pp, 4096))(p))
+        scale = np.abs(gp_exact).max()
+        np.testing.assert_allclose(gp_stoch, gp_exact, atol=0.15 * scale)
 
     def test_grad_corners_hits_subset_of_exact_rows(self):
         """k=2 sampled-corner gradients only touch rows the exact gradient

@@ -8,10 +8,10 @@ nerfstudio fields/nerfacto_field.py / density_fields.py).
 Design (TPU-first, not a CUDA translation):
   * All L levels stored as ONE stacked ``[L, T, F]`` table so a single fused
     gather serves every level (one XLA gather instead of L kernel launches).
-  * Indices for all ``N x L x 8`` corners are computed vectorized on the VPU;
-    the gather + trilinear blend is one fused XLA op. The backward pass is
-    XLA's sort-based scatter-add. A Pallas kernel specializing the
-    gather/scatter lives in ``thermo_tpu.ops.pallas.hash_grid``.
+  * Indices for all ``N x L x 8`` corners are computed vectorized on the VPU
+    from per-axis [L, N] arrays; the gather + trilinear blend is one fused
+    XLA op. The backward pass issues scalar scatter-adds (see hash_encode),
+    optionally subsampled over corners (unbiased stochastic estimators).
   * Per-level dense-vs-hash mapping follows tcnn: a level whose dense grid
     fits in the table uses dense (collision-free) indexing, otherwise the
     tcnn spatial hash (primes 1 / 2654435761 / 805459861, xor-combine).
@@ -91,57 +91,106 @@ def init_hash_table(key: jax.Array, spec: HashGridSpec, dtype=jnp.float32) -> Ar
     return jax.random.uniform(key, shape, dtype=dtype, minval=-1e-4, maxval=1e-4)
 
 
-def _corner_indices_cf(spec: HashGridSpec, grid_coords: Array) -> Array:
-    """Map integer grid coords -> flat table indices (channels-first layout).
+class _AxisGeometry:
+    """Per-axis corner geometry shared by the exact and stochastic paths.
 
-    ``grid_coords``: int32 [L, 8, 3, N]. Returns int32 [L, 8, N] in [0, T).
+    TPU layout note: everything is built from per-axis [L, N] arrays combined
+    per corner — NEVER a [L, 8, 3, N] tensor. A [L,8,3,N] pipeline puts 3 in
+    the second-minor (sublane) dim (padded 3 -> 8) and materializes multi-GB
+    intermediates on the big proposal batches.
+
+    Fields (each a 3-tuple over axes of ([L,N] offset-0, [L,N] offset-1)):
+      dense_c  per-axis dense-grid contributions (combine with +)
+      hash_c   per-axis tcnn spatial-hash contributions (combine with xor,
+               uint32 wraparound; primes 1 / 2654435761 / 805459861)
+    plus frac [L,3,N], use_hash [L,1(,1)] selector and the table-size mask.
     """
-    res = jnp.asarray(spec.resolutions, dtype=jnp.int32)[:, None, None]  # [L,1,1]
-    x = grid_coords[:, :, 0, :]
-    y = grid_coords[:, :, 1, :]
-    z = grid_coords[:, :, 2, :]
 
-    dense = x + y * res + z * res * res
+    def __init__(self, spec: HashGridSpec, positions: Array):
+        p = positions.T  # [3, N]
+        scales = jnp.asarray(spec.scales, dtype=jnp.float32)  # [L]
+        scaled = scales[:, None, None] * p[None, :, :] + 0.5  # [L, 3, N]
+        floor = jnp.floor(scaled)
+        self.frac = scaled - floor
+        base = floor.astype(jnp.int32)  # [L, 3, N]
 
-    # tcnn spatial hash (uint32 wraparound semantics).
-    ux = x.astype(jnp.uint32)
-    uy = y.astype(jnp.uint32)
-    uz = z.astype(jnp.uint32)
-    hashed = (
-        ux * jnp.uint32(_PRIMES[0])
-        ^ uy * jnp.uint32(_PRIMES[1])
-        ^ uz * jnp.uint32(_PRIMES[2])
-    ).astype(jnp.int32)
+        res = jnp.asarray(spec.resolutions, dtype=jnp.int32)[:, None]  # [L, 1]
+        strides = (jnp.ones_like(res), res, res * res)
+        self.use_hash = jnp.asarray(spec.use_hash)[:, None]  # [L, 1]
+        self.mask = jnp.int32(spec.table_size - 1)
 
-    use_hash = jnp.asarray(spec.use_hash)[:, None, None]  # [L, 1, 1]
-    idx = jnp.where(use_hash, hashed, dense)
-    return idx & jnp.int32(spec.table_size - 1)
+        self.dense_c = []
+        self.hash_c = []
+        for d in range(3):
+            b = base[:, d, :]
+            self.dense_c.append((b * strides[d], (b + 1) * strides[d]))
+            ub = b.astype(jnp.uint32)
+            prime = jnp.uint32(_PRIMES[d])
+            self.hash_c.append((ub * prime, (ub + jnp.uint32(1)) * prime))
+
+    def corner_index(self, bx, by, bz) -> Array:
+        """Table index for per-axis offsets. Offsets may be static 0/1 ints
+        (-> [L, N]) or traced bit arrays [L, K, N] (-> [L, K, N])."""
+
+        def pick(pair, bit, cast=None):
+            a0, a1 = pair
+            if isinstance(bit, (int, np.integer)):
+                out = a1 if bit else a0
+                if cast is not None:
+                    out = out.astype(cast)
+                return out if out.ndim == 3 else out[:, None, :]
+            a0 = a0[:, None, :]
+            a1 = a1[:, None, :]
+            if cast is not None:
+                a0, a1 = a0.astype(cast), a1.astype(cast)
+            return jnp.where(bit, a1, a0)
+
+        static = all(isinstance(b, (int, np.integer)) for b in (bx, by, bz))
+        dense = (
+            pick(self.dense_c[0], bx)
+            + pick(self.dense_c[1], by)
+            + pick(self.dense_c[2], bz)
+        )
+        hashed = (
+            pick(self.hash_c[0], bx)
+            ^ pick(self.hash_c[1], by)
+            ^ pick(self.hash_c[2], bz)
+        ).astype(jnp.int32)
+        use_hash = self.use_hash[:, :, None] if dense.ndim == 3 else self.use_hash
+        idx = jnp.where(use_hash, hashed, dense) & self.mask
+        return idx[:, 0, :] if (static and idx.ndim == 3) else idx
+
+    def frac_factor(self, axis: int, bit) -> Array:
+        """Per-axis trilinear factor: frac if the corner bit is 1 else
+        1-frac. Static int bit -> [L, N]; traced [L, K, N] bit -> [L, K, N]."""
+        fr = self.frac[:, axis, :]
+        if isinstance(bit, (int, np.integer)):
+            return fr if bit else 1.0 - fr
+        fr = fr[:, None, :]
+        return jnp.where(bit, fr, 1.0 - fr)
 
 
 def _hash_corners(spec: HashGridSpec, positions: Array):
-    """Shared forward geometry: positions [N, 3] -> (flat_idx [L,8,N] into the
-    level-stacked table, frac [L,3,N], per-level idx [L,8,N])."""
-    p = positions.T  # [3, N]
-    scales = jnp.asarray(spec.scales, dtype=jnp.float32)  # [L]
-    scaled = scales[:, None, None] * p[None, :, :] + 0.5  # [L, 3, N]
-    floor = jnp.floor(scaled)
-    frac = scaled - floor
-    base = floor.astype(jnp.int32)
-    corners = jnp.asarray(_CORNERS)  # [8, 3]
-    grid_coords = base[:, None, :, :] + corners[None, :, :, None]  # [L,8,3,N]
-    idx = _corner_indices_cf(spec, grid_coords)  # [L, 8, N]
-    return idx, frac
+    """Exact forward geometry: positions [N, 3] -> (per-level corner table
+    indices [L,8,N] in [0,T), frac [L,3,N])."""
+    geo = _AxisGeometry(spec, positions)
+    idx = jnp.stack(
+        [geo.corner_index(cx, cy, cz) for cx, cy, cz in np.asarray(_CORNERS)],
+        axis=1,
+    )  # [L, 8, N]
+    return idx, geo.frac
 
 
 def _corner_weights(frac: Array) -> Array:
-    """Trilinear corner weights: frac [L, 3, N] -> [L, 8, N]."""
-    corners = jnp.asarray(_CORNERS)
-    cf = corners.astype(frac.dtype)  # [8, 3]
-    return jnp.prod(
-        jnp.where(
-            cf[None, :, :, None] == 1, frac[:, None, :, :], 1.0 - frac[:, None, :, :]
-        ),
-        axis=2,
+    """Trilinear corner weights: frac [L, 3, N] -> [L, 8, N].
+
+    Built from per-axis [L, N] factors (see _hash_corners layout note)."""
+    f = ((1.0 - frac[:, 0, :], frac[:, 0, :]),
+         (1.0 - frac[:, 1, :], frac[:, 1, :]),
+         (1.0 - frac[:, 2, :], frac[:, 2, :]))
+    return jnp.stack(
+        [f[0][cx] * f[1][cy] * f[2][cz] for cx, cy, cz in np.asarray(_CORNERS)],
+        axis=1,
     )
 
 
@@ -167,16 +216,18 @@ def hash_encode(
     The backward pass is a custom VJP: XLA's scatter-add costs ~45ns per
     [F=2]-row update on v5e but only ~9ns per SCALAR update, so the table
     gradient folds the feature dim into the index and issues scalar
-    scatters; the forward-gathered corner features are saved as residuals so
-    the position gradient needs no second gather.
+    scatters. Residuals are (table, positions) — NOT the gathered features,
+    which would stack across the scanned train steps (measured OOM).
 
-    ``grad_corners`` (0 = exact): UNBIASED stochastic table gradient — per
-    (point, level), route the cotangent to ``grad_corners`` corners drawn
-    from Categorical(trilinear weights) with value g/k instead of all 8
-    corners with value w_c*g. E[estimate] = sum_c w_c g exactly; scatter
-    traffic drops 8/k. Position gradients stay exact. Randomness is derived
-    statelessly from the sample coordinates (fresh every step because ray
-    jitter never repeats positions).
+    ``grad_corners`` (0 = exact): stochastic backward over ``grad_corners``
+    corners drawn from Categorical(trilinear weights) per (point, level).
+    The table gradient routes the cotangent to the drawn corners with value
+    g/k — UNBIASED (E = sum_c w_c g exactly), 8/k less scatter traffic. The
+    position gradient is importance-weighted over the SAME draws
+    (s_c dw_c / (k w_c), w clamped at 1/64 for bounded variance — a tiny,
+    documented bias) and gathers k corner rows instead of 8. Randomness is
+    derived statelessly from the sample coordinates (fresh every step
+    because ray jitter never repeats positions).
 
     ``fwd_corners`` (0 = exact): stochastic trilinear FORWARD — evaluate the
     mean of ``fwd_corners`` Categorical(w)-sampled corner features instead
@@ -238,19 +289,23 @@ def _derived_uniforms(idx0: Array, frac: Array, k: int, salt: int = 0x9E3779B9):
     return (hs >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
 
 
-def _sample_corners(idx: Array, frac: Array, w: Array, k: int) -> Array:
+def _sample_corner_bits(geo: _AxisGeometry, k: int):
     """Draw k corners per (level, point) ~ Categorical(trilinear weights).
 
-    ``idx``: [L,8,N]; ``frac``: [L,3,N]; ``w``: [L,8,N] (sums to 1 over
-    corners). Returns selected table indices [L, k, N] (per-level, in [0,T)).
+    The trilinear weights factorize, w_c = prod_d factor_d(c_d), so a
+    categorical draw over the 8 corners is exactly three independent
+    per-axis Bernoulli(frac_d) bits — no cdf, no 8-way compare, no
+    take_along_axis (those cost more than the gathers they feed, measured).
+
+    Returns (bits = (bx, by, bz), each bool [L, k, N]; idx_sel [L, k, N]).
     """
-    u = _derived_uniforms(idx[:, 0, :], frac, k)  # [k, L, N]
-    cdf = jnp.cumsum(w, axis=1)  # [L, 8, N]
-    corner = jnp.sum(
-        (u[:, :, None, :] >= cdf[None]).astype(jnp.int32), axis=2
-    )  # [k, L, N]
-    corner = jnp.minimum(corner, 7)
-    return jnp.take_along_axis(idx, jnp.transpose(corner, (1, 0, 2)), axis=1)
+    seed = geo.hash_c[0][0] ^ geo.hash_c[1][0] ^ geo.hash_c[2][0]  # [L, N]
+    u = _derived_uniforms(seed, geo.frac, 3 * k)  # [3k, L, N]
+    bits = []
+    for d in range(3):
+        fr = geo.frac[:, d, :][None]  # [1, L, N]
+        bits.append(jnp.transpose(u[d * k : (d + 1) * k] < fr, (1, 0, 2)))
+    return tuple(bits), geo.corner_index(*bits)
 
 
 def _scatter_scalar_fused(
@@ -301,60 +356,88 @@ def _hash_encode_vjp_bwd(spec: HashGridSpec, grad_corners: int, res, g):
     table_dtype, pos_dtype = table.dtype, positions.dtype
     L, T, F = spec.num_levels, spec.table_size, spec.features_per_level
     n = g.shape[0]
-    idx, frac = _hash_corners(spec, positions)  # [L,8,N], [L,3,N]
-    w = _corner_weights(frac)  # [L, 8, N]
+    geo = _AxisGeometry(spec, positions)
 
     # cotangent to channels-first [F, L, N]
     g_cf = jnp.transpose(g.reshape(n, L, F), (2, 1, 0)).astype(jnp.float32)
+    level_offset = jnp.arange(L, dtype=jnp.int32)[:, None, None] * T
+    scales = jnp.asarray(spec.scales, dtype=jnp.float32)[:, None]  # [L, 1]
 
-    # ---- d_table ----
     if grad_corners:
         k = int(grad_corners)
-        idx_sel = _sample_corners(idx, frac, w, k)  # [L, k, N]
+        bits, idx_sel = _sample_corner_bits(geo, k)  # bits [L,k,N] x3
         vals = jnp.broadcast_to(
             (g_cf / k)[:, :, None, :], (F, L, k, n)
         )  # [F, L, k, N]
         d_table = _scatter_scalar_fused(idx_sel, vals, spec, table_dtype)
-    else:
-        # exact: one scalar scatter per level
-        d_levels = []
-        feature_off = jnp.arange(F, dtype=jnp.int32)[None, :, None]  # [1, F, 1]
-        for l in range(L):
-            idx_l = idx[l]  # [8, N]
-            vals = w[l][:, None, :] * g_cf[:, l, :][None, :, :]  # [8, F, N]
-            scalar_idx = idx_l[:, None, :] * F + feature_off  # [8, F, N]
-            d_flat = jnp.zeros((T * F,), jnp.float32).at[
-                scalar_idx.reshape(-1)
-            ].add(vals.reshape(-1))
-            d_levels.append(d_flat.reshape(T, F))
-        d_table = jnp.stack(d_levels).astype(table_dtype)  # [L, T, F]
 
-    # ---- d_positions (exact; needs one re-gather of the corner feats) ----
-    level_offset = jnp.arange(L, dtype=jnp.int32)[:, None, None] * T
+        # ---- d_positions, sampled-corner estimator ----
+        # Importance-weighted over the SAME Categorical(w) draws:
+        # E[ sum_j s_{c_j} dw_{c_j}/dfrac / (k w_{c_j}) ] = sum_c s_c dw_c.
+        # w is clamped below at 1/64 (rarely-drawn corners), trading a tiny
+        # bias for bounded variance. Gathers k corner rows instead of 8.
+        feats_sel = _gather_feats(table, idx_sel + level_offset, spec).astype(
+            jnp.float32
+        )  # [F, L, k, N]
+        s_sel = jnp.einsum("flkn,fln->lkn", feats_sel, g_cf)  # [L, k, N]
+        fx = geo.frac_factor(0, bits[0])  # [L, k, N]
+        fy = geo.frac_factor(1, bits[1])
+        fz = geo.frac_factor(2, bits[2])
+        scale_sel = s_sel / (k * jnp.maximum(fx * fy * fz, 1.0 / 64.0))
+        sgn = lambda b: 2.0 * b.astype(jnp.float32) - 1.0
+        d_frac = (
+            jnp.sum(scale_sel * sgn(bits[0]) * fy * fz, axis=1),
+            jnp.sum(scale_sel * sgn(bits[1]) * fx * fz, axis=1),
+            jnp.sum(scale_sel * sgn(bits[2]) * fx * fy, axis=1),
+        )  # 3 x [L, N]
+        d_p = jnp.stack(
+            [jnp.sum(d_frac[d] * scales, axis=0) for d in range(3)], axis=-1
+        )
+        return d_table, d_p.astype(pos_dtype)
+
+    # ---- exact path ----
+    idx = jnp.stack(
+        [geo.corner_index(cx, cy, cz) for cx, cy, cz in np.asarray(_CORNERS)],
+        axis=1,
+    )  # [L, 8, N]
+    w = _corner_weights(geo.frac)  # [L, 8, N]
+
+    # d_table: one scalar scatter per level (feature dim folded into index)
+    d_levels = []
+    feature_off = jnp.arange(F, dtype=jnp.int32)[None, :, None]  # [1, F, 1]
+    for l in range(L):
+        idx_l = idx[l]  # [8, N]
+        vals = w[l][:, None, :] * g_cf[:, l, :][None, :, :]  # [8, F, N]
+        scalar_idx = idx_l[:, None, :] * F + feature_off  # [8, F, N]
+        d_flat = jnp.zeros((T * F,), jnp.float32).at[
+            scalar_idx.reshape(-1)
+        ].add(vals.reshape(-1))
+        d_levels.append(d_flat.reshape(T, F))
+    d_table = jnp.stack(d_levels).astype(table_dtype)  # [L, T, F]
+
+    # d_positions: exact, needs one re-gather of the corner feats.
     feats = _gather_feats(table, idx + level_offset, spec).astype(jnp.float32)
     # per-corner upstream: s[l, c, n] = sum_f feats[f,l,c,n] * g_cf[f,l,n]
     s = jnp.einsum("flcn,fln->lcn", feats, g_cf)  # [L, 8, N]
-    corners = jnp.asarray(_CORNERS).astype(jnp.float32)  # [8, 3]
-    # dw/dfrac_d = sign_d * prod_{d' != d} (corner_d' ? frac : 1-frac)
-    term = jnp.where(
-        corners[None, :, :, None] == 1, frac[:, None, :, :], 1.0 - frac[:, None, :, :]
-    )  # [L, 8, 3, N]
-    # product over the other two dims, written out explicitly (a division by
-    # term would produce wrong gradients where term == 0, i.e. points exactly
-    # on grid planes)
-    prod_others = jnp.stack(
-        [
-            term[:, :, 1, :] * term[:, :, 2, :],
-            term[:, :, 0, :] * term[:, :, 2, :],
-            term[:, :, 0, :] * term[:, :, 1, :],
-        ],
-        axis=2,
-    )  # [L, 8, 3, N]
-    sign = jnp.where(corners[None, :, :, None] == 1, 1.0, -1.0)
-    dw_dfrac = sign * prod_others  # [L, 8, 3, N]
-    d_frac = jnp.einsum("lcn,lcdn->ldn", s, dw_dfrac)  # [L, 3, N]
-    scales = jnp.asarray(spec.scales, dtype=jnp.float32)  # [L]
-    d_p = jnp.sum(d_frac * scales[:, None, None], axis=0).T  # [N, 3]
+    # dw/dfrac_d at corner c = sign_d(c) * prod_{d' != d} factor_{d'}(c).
+    # Per-axis [L,N] factors accumulated over the 8 static corners — no
+    # [L,8,3,N] tensor. Written product-form (no division) so points exactly
+    # on grid planes keep finite gradients.
+    d_frac = [0.0, 0.0, 0.0]
+    for c, (cx, cy, cz) in enumerate(np.asarray(_CORNERS)):
+        sc = s[:, c, :]  # [L, N]
+        sign = (1.0 if cx else -1.0, 1.0 if cy else -1.0, 1.0 if cz else -1.0)
+        fx, fy, fz = (
+            geo.frac_factor(0, cx),
+            geo.frac_factor(1, cy),
+            geo.frac_factor(2, cz),
+        )
+        d_frac[0] += sign[0] * sc * (fy * fz)
+        d_frac[1] += sign[1] * sc * (fx * fz)
+        d_frac[2] += sign[2] * sc * (fx * fy)
+    d_p = jnp.stack(
+        [jnp.sum(d_frac[d] * scales, axis=0) for d in range(3)], axis=-1
+    )  # [N, 3]
     return d_table, d_p.astype(pos_dtype)
 
 
@@ -365,9 +448,8 @@ _hash_encode_vjp.defvjp(_hash_encode_vjp_fwd, _hash_encode_vjp_bwd)
 # stochastic-trilinear forward (proposal fields)
 # ----------------------------------------------------------------------
 def _stoch_forward(table: Array, positions: Array, spec: HashGridSpec, k: int):
-    idx, frac = _hash_corners(spec, positions)
-    w = _corner_weights(frac)
-    idx_sel = _sample_corners(idx, frac, w, k)  # [L, k, N]
+    geo = _AxisGeometry(spec, positions)
+    _, idx_sel = _sample_corner_bits(geo, k)  # [L, k, N]
     level_off = jnp.arange(spec.num_levels, dtype=jnp.int32)[:, None, None] * (
         spec.table_size
     )
@@ -399,9 +481,8 @@ def _hash_encode_stoch_bwd(spec: HashGridSpec, k: int, res, g):
     table_proto, positions = res
     L, F = spec.num_levels, spec.features_per_level
     n = g.shape[0]
-    idx, frac = _hash_corners(spec, positions)
-    w = _corner_weights(frac)
-    idx_sel = _sample_corners(idx, frac, w, k)  # same draws as forward
+    geo = _AxisGeometry(spec, positions)
+    _, idx_sel = _sample_corner_bits(geo, k)  # same draws as forward
     g_cf = jnp.transpose(g.reshape(n, L, F), (2, 1, 0)).astype(jnp.float32)
     vals = jnp.broadcast_to((g_cf / k)[:, :, None, :], (F, L, k, n))
     d_table = _scatter_scalar_fused(idx_sel, vals, spec, table_proto.dtype)

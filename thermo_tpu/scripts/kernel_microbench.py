@@ -76,21 +76,42 @@ def main() -> None:
         results.append((name, per * 1e3, per / elements * 1e9))
         print(f"{name:55s} {per * 1e3:10.2f} ms  {per / elements * 1e9:8.2f} ns/el", flush=True)
 
+    # NOTE on the carry perturbation: every op must DEPEND on the loop carry
+    # or XLA hoists it out of the fori_loop and the bench measures 1/n_iter
+    # of the true cost (this bug made gather look 4x faster than reality —
+    # 1.8ns/el reported vs 7.3ns/el measured in real graphs). The
+    # ``jnp.int32(jnp.abs(c) > 1e30)`` term is 0 at runtime but not
+    # constant-foldable.
+    def depend(c):
+        return jnp.int32(jnp.abs(c) > 1e30)
+
     # ------------------------------------------------------------------
     # 1. fused gather, stacked levels (the current forward path)
     # ------------------------------------------------------------------
-    for F in (2, 8):
-        table_t = jax.random.normal(kt, (F, L * T), jnp.float32)
+    for F, pre_t, dt in ((2, True, jnp.float32), (8, True, jnp.float32),
+                         (2, False, jnp.float32), (2, True, jnp.bfloat16)):
+        table_ltf = jax.random.normal(kt, (L * T, F), dt)
+        table_t = jnp.asarray(np.asarray(table_ltf).T)
         level_off = (jnp.arange(L, dtype=jnp.int32) * T)[:, None]
         flat = idx + level_off
 
-        def op(carry, tbl, fi):
-            g = jnp.take(tbl, fi, axis=1)  # [F, L, N]
-            return carry + jnp.sum(g[:, :, :8])
+        if pre_t:
+            def op(carry, tbl, fi):
+                g = jnp.take(tbl, fi + depend(carry), axis=1)  # [F, L, N]
+                return carry + jnp.sum(g[:, :, :8].astype(jnp.float32))
 
-        run = chain(functools.partial(op), n_iter)
-        secs = timed(run, jnp.zeros(()), table_t, flat, reps=reps)
-        report(f"gather stacked [F={F}] ({L}x{N} idx)", secs, L * N)
+            run = chain(op, n_iter)
+            secs = timed(run, jnp.zeros(()), table_t, flat, reps=reps)
+            tag = f"gather stacked [F={F} {dt.__name__}] pre-T"
+        else:
+            def op(carry, tbl, fi):
+                g = jnp.take(tbl.T, fi + depend(carry), axis=1)
+                return carry + jnp.sum(g[:, :, :8].astype(jnp.float32))
+
+            run = chain(op, n_iter)
+            secs = timed(run, jnp.zeros(()), table_ltf, flat, reps=reps)
+            tag = f"gather stacked [F={F} {dt.__name__}] in-graph T"
+        report(f"{tag} ({L}x{N} idx)", secs, L * N)
 
     # ------------------------------------------------------------------
     # 2. scatter-add: scalar (feature folded into index), per level
@@ -129,7 +150,7 @@ def main() -> None:
         vals_ = jax.random.normal(kg, (n_sort,), jnp.float32)
 
         def op_sort(carry, k_, v_):
-            sk, sv = jax.lax.sort_key_val(k_ + carry.astype(jnp.int32) * 0, v_)
+            sk, sv = jax.lax.sort_key_val(k_ + depend(carry), v_)
             return jnp.sum(sv[:8]) + sk[0].astype(jnp.float32) * 0
 
         run = chain(op_sort, n_iter)

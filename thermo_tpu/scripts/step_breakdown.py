@@ -83,19 +83,26 @@ def main() -> None:
 
     results = {}
 
+    def record(name, secs):
+        results[name] = secs
+        print(f"  {name:24s} {secs*1e3:9.1f} ms  ({n/secs:,.0f} rays/s)", flush=True)
+
+    print(f"Breakdown ({n} rays, grad_corners={args.grad_corners}, "
+          f"prop_fwd_corners={args.prop_fwd_corners}):", flush=True)
+
     @jax.jit
     def fwd_eval(p):
         out = model.forward(p, rays, None, train=False)
         return out["rgb"].sum() + out["thermal"].sum()
 
-    results["fwd_eval"] = timed(fwd_eval, params)
+    record("fwd_eval", timed(fwd_eval, params))
 
     @jax.jit
     def fwd_train(p):
         out = model.forward(p, rays, key, step=10000.0, prop_grad_flag=0.0, train=True)
         return out["rgb"].sum() + out["thermal"].sum()
 
-    results["fwd_train"] = timed(fwd_train, params)
+    record("fwd_train", timed(fwd_train, params))
 
     def make_loss(flag, full):
         def loss(p):
@@ -117,7 +124,7 @@ def main() -> None:
         ("bwd_rgbonly_gated", 0.0, False),
     ):
         g = jax.jit(lambda p, _f=jax.grad(make_loss(flag, full)): _f(p)["fields"]["grid"]["table"].sum())
-        results[name] = timed(g, params)
+        record(name, timed(g, params))
 
     # non-hash floor: same sample counts, trivially small tables
     tiny = dataclasses.replace(
@@ -140,12 +147,7 @@ def main() -> None:
         return total
 
     g_t = jax.jit(lambda p: jax.grad(loss_t)(p)["fields"]["grid"]["table"].sum())
-    results["bwd_tinytable_update"] = timed(g_t, params_t)
-
-    print(f"\nBreakdown ({n} rays, grad_corners={args.grad_corners}, "
-          f"prop_fwd_corners={args.prop_fwd_corners}):")
-    for k, v in results.items():
-        print(f"  {k:24s} {v*1e3:9.1f} ms  ({n/v:,.0f} rays/s)")
+    record("bwd_tinytable_update", timed(g_t, params_t))
 
 
 if __name__ == "__main__":

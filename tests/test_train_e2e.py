@@ -224,3 +224,17 @@ class TestOtherMethods:
         for key in ("psnr", "ssim", "mae", "mae_foreground"):
             assert f"{key}_mean" in metrics
         assert "mae_thermal" not in metrics
+
+    def test_tpu_preset_knobs_end_to_end(self, scene, tmp_path):
+        """thermal-nerf-tpu estimator knobs train end-to-end and evaluate
+        (eval renders use exact trilinear regardless of the knobs)."""
+        exp = self._train(
+            scene, tmp_path, "thermal-nerf",
+            {"hash_grad_corners": 2, "proposal_fwd_corners": 2},
+        )
+        pipe = load_pipeline_from_dir(exp, data=scene)
+        ev = Evaluator(pipe, threshold=0.3)
+        metrics = ev.compute_metrics()
+        for key in ("psnr", "psnr_thermal", "mae_thermal"):
+            assert f"{key}_mean" in metrics
+        assert np.isfinite(metrics["psnr_mean"])

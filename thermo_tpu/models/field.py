@@ -317,8 +317,12 @@ class HashMLPDensityField(nn.Module):
     fwd_corners: int = 0  # stochastic-trilinear forward (0 = exact)
 
     @nn.compact
-    def __call__(self, positions: Array) -> Array:
-        """positions [..., 3] world -> density [..., 1] f32."""
+    def __call__(self, positions: Array, exact: bool = False) -> Array:
+        """positions [..., 3] world -> density [..., 1] f32.
+
+        ``exact=True`` disables the stochastic-trilinear estimators for this
+        call (eval renders use exact trilinear; fwd_corners is a TRAINING
+        throughput knob)."""
         if self.use_contraction:
             p = contract_to_unit_cube(positions)
         else:
@@ -333,8 +337,8 @@ class HashMLPDensityField(nn.Module):
                 base_res=self.base_res,
                 max_res=self.max_res,
             ),
-            grad_corners=self.hash_grad_corners,
-            fwd_corners=self.fwd_corners,
+            grad_corners=0 if exact else self.hash_grad_corners,
+            fwd_corners=0 if exact else self.fwd_corners,
         )(p)
         if self.use_linear:
             h = nn.Dense(1, dtype=self.compute_dtype)(feats.astype(self.compute_dtype))

@@ -244,13 +244,19 @@ class ThermoNerfModel:
             params["camera_opt"] = co.init_pose_adjustment(self.num_train_images)
         return params
 
-    def _density_fns(self, params: Params):
+    def _density_fns(self, params: Params, train: bool = True):
+        """Proposal density closures. Eval uses exact trilinear (the
+        stochastic fwd_corners estimator is a training-only knob)."""
         fns = []
         for i in range(self.config.num_proposal_iterations):
             key = "0" if self.config.use_same_proposal_network else str(i)
             net = self.proposal_nets[min(i, len(self.proposal_nets) - 1)]
             p = params["proposal_networks"][key]
-            fns.append(lambda pos, net=net, p=p: net.apply({"params": p}, pos))
+            fns.append(
+                lambda pos, net=net, p=p: net.apply(
+                    {"params": p}, pos, exact=not train
+                )
+            )
         return fns
 
     # ------------------------------------------------------------------
@@ -301,7 +307,7 @@ class ThermoNerfModel:
 
         samples = proposal_sample(
             rng,
-            self._density_fns(params),
+            self._density_fns(params, train=train),
             origins,
             directions,
             near,

@@ -119,6 +119,18 @@ class TestEvaluator:
 
 
 class TestRenderer:
+    def test_viewer_render_pose(self, trained, scene):
+        """ViewerServer renders all modalities to valid JPEGs from a trained
+        pipeline (same chunked path the HTTP endpoint serves)."""
+        from thermo_tpu.viewer.server import ViewerServer
+
+        _, _, _, exp_dir = trained
+        pipe = load_pipeline_from_dir(exp_dir, data=scene)
+        server = ViewerServer(pipe, height=24, width=32, chunk_size=1 << 9)
+        for modality in ("rgb", "thermal", "depth", "accumulation"):
+            jpeg = server.render_pose(0.8, 1.2, 2.0, modality)
+            assert jpeg[:2] == b"\xff\xd8", modality  # JPEG SOI marker
+
     def test_camera_path_render(self, trained, scene, tmp_path):
         _, _, _, exp_dir = trained
         # build a 3-frame camera path

@@ -55,10 +55,66 @@ def chain(op, n_iter: int):
     return run
 
 
+def field_level(reps: int = 3) -> None:
+    """Field-level costs at exact model shapes (hash_encode / field.apply),
+    complementing the primitive cases below. These run the real modules, so
+    they include geometry, gathers, trilinear blend and MLPs."""
+    import jax
+    import jax.numpy as jnp
+
+    from thermo_tpu.ops.hash_encoding import (
+        HashGridSpec,
+        hash_encode,
+        init_hash_table,
+    )
+
+    key = jax.random.PRNGKey(0)
+    spec = HashGridSpec()
+    table = init_hash_table(key, spec)
+    p_final = jax.random.uniform(key, (196608, 3))
+    p_prop = jax.random.uniform(key, (1048576, 3))
+    spec_prop = HashGridSpec(num_levels=5, log2_hashmap_size=17, max_res=128)
+    table_prop = init_hash_table(key, spec_prop)
+
+    cases = {
+        "hash_encode final (196K pts, 16 lv)": (
+            lambda t, p: jnp.sum(hash_encode(t, p, spec)[:2]), table, p_final),
+        "hash_encode prop exact (1.05M pts, 5 lv)": (
+            lambda t, p: jnp.sum(hash_encode(t, p, spec_prop)[:2]),
+            table_prop, p_prop),
+        "hash_encode prop fwd2 (1.05M pts, 5 lv)": (
+            lambda t, p: jnp.sum(hash_encode(t, p, spec_prop, fwd_corners=2)[:2]),
+            table_prop, p_prop),
+        "hash_encode final bwd gc2 (196K pts)": (
+            jax.grad(lambda t, p: jnp.sum(
+                hash_encode(t, p, spec, grad_corners=2)[:2]).astype(jnp.float32)),
+            table, p_final),
+    }
+    for name, (f, t, p) in cases.items():
+        fn = jax.jit(f)
+        out = fn(t, p)
+        _sync(out if not isinstance(out, tuple) else out[0])
+        import time as _time
+
+        ts = []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            out = fn(t, p)
+            _sync(out if not isinstance(out, tuple) else out[0])
+            ts.append(_time.perf_counter() - t0)
+        print(f"{name:48s} {float(np.median(ts))*1e3:8.1f} ms", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--fields", action="store_true",
+                    help="run field-level (module) cases instead of primitives")
     args = ap.parse_args()
+
+    if args.fields:
+        field_level()
+        return
 
     N = 1 << 18 if args.quick else 1_572_864  # corner lookups per level
     T = 1 << 19

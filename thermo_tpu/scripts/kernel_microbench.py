@@ -170,6 +170,44 @@ def main() -> None:
         report(f"{tag} ({L}x{N} idx)", secs, L * N)
 
     # ------------------------------------------------------------------
+    # 1b. windowed gather for DENSE levels: one gather fetching the whole
+    # [2,2,2,F] corner neighborhood vs 8 scalar row gathers. If the windowed
+    # form is < 8x the per-index cost, dense levels should use it.
+    # ------------------------------------------------------------------
+    RES = 64  # a dense level: res^3 = 262144 <= 2^19
+    n_cells = N // 8  # same total corner count as one level above
+    table_d = jax.random.normal(kt, (RES, RES, RES, 2), jnp.float32)
+    base = jax.random.randint(ki, (n_cells, 3), 0, RES - 1, jnp.int32)
+
+    def op_window(carry, tbl, b):
+        starts = b + depend(carry)
+        g = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(tbl, (s[0], s[1], s[2], 0), (2, 2, 2, 2))
+        )(starts)
+        return carry + jnp.sum(g[:8].astype(jnp.float32))
+
+    run = chain(op_window, n_iter)
+    secs = timed(run, jnp.zeros(()), table_d, base, reps=reps)
+    report(f"windowed dense gather [2,2,2,F=2] ({n_cells} cells)", secs, n_cells)
+
+    # same corner count via 8 scalar-index row gathers (the current path)
+    tflat_t = jnp.asarray(np.asarray(table_d.reshape(-1, 2)).T)
+    corner_off = jnp.asarray(
+        [[i * RES * RES + j * RES + k for i in (0, 1) for j in (0, 1) for k in (0, 1)]],
+        jnp.int32,
+    )  # [1, 8]
+    flat_base = base[:, 0] * RES * RES + base[:, 1] * RES + base[:, 2]
+    idx8 = flat_base[:, None] + corner_off  # [n_cells, 8]
+
+    def op_8row(carry, tbl, fi):
+        g = jnp.take(tbl, fi + depend(carry), axis=1)
+        return carry + jnp.sum(g[:, :8].astype(jnp.float32))
+
+    run = chain(op_8row, n_iter)
+    secs = timed(run, jnp.zeros(()), tflat_t, idx8, reps=reps)
+    report(f"8x row gather same corners ({n_cells} cells)", secs, n_cells)
+
+    # ------------------------------------------------------------------
     # 2. scatter-add: scalar (feature folded into index), per level
     # ------------------------------------------------------------------
     for F in (2,):

@@ -18,3 +18,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-bound (hundreds of tiny
+# XLA programs), and every test re-run recompiles from scratch without it.
+jax.config.update("jax_compilation_cache_dir", "/tmp/thermo_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -105,15 +105,138 @@ def field_level(reps: int = 3) -> None:
         print(f"{name:48s} {float(np.median(ts))*1e3:8.1f} ms", flush=True)
 
 
+def width_scaling(quick: bool = False) -> None:
+    """Design-decision cases for the low-rank / packed-gather redesign:
+
+    a. gather per-INDEX cost vs row width F (is the hardware index-bound or
+       byte-bound?) — decides whether wide-feature representations
+       (triplane/VM, F=16..32 rows) beat the hash grid's 2-wide rows.
+    b. packed bf16 pairs in int32: one scalar gather fetching 2 features.
+    c. two-hot interpolation matmul: N samples x line table [R, K] evaluated
+       as onehot(floor)*(1-f) + onehot(floor+1)*f contracted on the MXU —
+       the gather AND its backward become matmuls (no scatters at all).
+       This is the candidate TPU-native encoding for proposal density fields.
+    """
+    N = 1 << 17 if quick else 1 << 20
+    reps = 2 if quick else 4
+    n_iter = 2 if quick else 4
+    key = jax.random.PRNGKey(0)
+    kt, ki, kg = jax.random.split(key, 3)
+
+    def depend(c):
+        return jnp.int32(jnp.abs(c) > 1e30)
+
+    def report(name, secs, elements):
+        per = secs / n_iter
+        print(
+            f"{name:58s} {per * 1e3:9.2f} ms  {per / elements * 1e9:8.2f} ns/el",
+            flush=True,
+        )
+
+    # ---- a. gather cost vs row width (pre-transposed [F, T] take axis=1) ----
+    T = 1 << 19
+    idx = jax.random.randint(ki, (N,), 0, T, jnp.int32)
+    for F in (1, 2, 4, 8, 16, 32):
+        table = jax.random.normal(kt, (F, T), jnp.float32)
+
+        def op(carry, tbl, fi):
+            g = jnp.take(tbl, fi + depend(carry), axis=1)  # [F, N]
+            return carry + jnp.sum(g[:, :8].astype(jnp.float32))
+
+        run = chain(op, n_iter)
+        secs = timed(run, jnp.zeros(()), table, idx, reps=reps)
+        report(f"gather [F={F} f32] pre-T ({N} idx)", secs, N)
+
+    # row-major [T, F] row gather (output [N, F], F minor)
+    for F in (8, 32):
+        table = jax.random.normal(kt, (T, F), jnp.float32)
+
+        def op(carry, tbl, fi):
+            g = jnp.take(tbl, fi + depend(carry), axis=0)  # [N, F]
+            return carry + jnp.sum(g[:8].astype(jnp.float32))
+
+        run = chain(op, n_iter)
+        secs = timed(run, jnp.zeros(()), table, idx, reps=reps)
+        report(f"gather row-major [T,F={F}] ({N} idx)", secs, N)
+
+    # ---- b. packed bf16 pair in int32: one scalar gather = 2 features ----
+    packed = jax.random.randint(kt, (T,), 0, 2**31 - 1, jnp.int32)
+
+    def op_packed(carry, tbl, fi):
+        g = jnp.take(tbl, fi + depend(carry))  # [N] int32
+        both = jax.lax.bitcast_convert_type(g, jnp.bfloat16)  # [N, 2]
+        return carry + jnp.sum(both[:8].astype(jnp.float32))
+
+    run = chain(op_packed, n_iter)
+    secs = timed(run, jnp.zeros(()), packed, idx, reps=reps)
+    report(f"gather packed-int32 (2xbf16/idx) ({N} idx)", secs, N)
+
+    # ---- c. two-hot interpolation matmul over line tables ----
+    for R, K in ((256, 32), (2048, 32)):
+        lines = jax.random.normal(kt, (R, K), jnp.bfloat16)
+        x = jax.random.uniform(ki, (N,), jnp.float32, 0.0, float(R - 1))
+        CH = 1 << 15
+
+        def op_twohot(carry, ln, xs):
+            def body(c, x_c):
+                x_c = x_c + jnp.float32(depend(c))
+                f0 = jnp.floor(x_c)
+                fr = (x_c - f0)[:, None]
+                i0 = f0.astype(jnp.int32)[:, None]
+                ar = jnp.arange(R, dtype=jnp.int32)[None]
+                w = ((ar == i0) * (1.0 - fr) + (ar == i0 + 1) * fr).astype(
+                    jnp.bfloat16
+                )  # [CH, R] two-hot
+                feats = jnp.dot(w, ln, preferred_element_type=jnp.float32)
+                return c + jnp.sum(feats[:8]), 0.0
+
+            c, _ = jax.lax.scan(body, carry, xs.reshape(-1, CH))
+            return c
+
+        run = chain(op_twohot, n_iter)
+        secs = timed(run, jnp.zeros(()), lines, x, reps=reps)
+        report(f"two-hot matmul line [R={R},K={K}] ({N} pts)", secs, N)
+
+    # two-hot backward shape: dV = W^T g — same matmul transposed
+    R, K = 256, 32
+    lines = jax.random.normal(kt, (R, K), jnp.bfloat16)
+    x = jax.random.uniform(ki, (N,), jnp.float32, 0.0, float(R - 1))
+    CH = 1 << 15
+
+    def fwd_loss(ln, xs):
+        def body(c, x_c):
+            f0 = jnp.floor(x_c)
+            fr = (x_c - f0)[:, None]
+            i0 = f0.astype(jnp.int32)[:, None]
+            ar = jnp.arange(R, dtype=jnp.int32)[None]
+            w = ((ar == i0) * (1.0 - fr) + (ar == i0 + 1) * fr).astype(jnp.bfloat16)
+            feats = jnp.dot(w, ln, preferred_element_type=jnp.float32)
+            return c + jnp.sum(feats * feats), 0.0
+
+        c, _ = jax.lax.scan(
+            jax.checkpoint(body), jnp.zeros(()), xs.reshape(-1, CH)
+        )
+        return c
+
+    g_fn = jax.jit(lambda ln, xs: jax.grad(fwd_loss)(ln, xs).astype(jnp.float32).sum())
+    secs = timed(g_fn, lines, x, reps=reps)
+    report(f"two-hot fwd+bwd line [R={R},K={K}] ({N} pts, 1 iter)", secs, N)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--fields", action="store_true",
                     help="run field-level (module) cases instead of primitives")
+    ap.add_argument("--widths", action="store_true",
+                    help="row-width / packed / two-hot matmul design cases")
     args = ap.parse_args()
 
     if args.fields:
         field_level()
+        return
+    if args.widths:
+        width_scaling(args.quick)
         return
 
     N = 1 << 18 if args.quick else 1_572_864  # corner lookups per level

@@ -39,6 +39,10 @@ def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--method", default="thermal-nerf-tpu",
+                    help="method preset to benchmark (thermal-nerf = exact "
+                         "reference-parity numerics; thermal-nerf-tpu = the "
+                         "TPU-native flagship, same capability/sampling scale)")
     ap.add_argument("--grad-corners", type=int, default=None,
                     help="override model.hash_grad_corners (0 = exact)")
     ap.add_argument("--prop-fwd-corners", type=int, default=None,
@@ -48,11 +52,11 @@ def main() -> None:
     jax = _init_jax()
     import jax.numpy as jnp
 
-    from thermo_tpu.configs.methods import thermal_nerf_config
+    from thermo_tpu.configs.methods import METHOD_CONFIGS
     from thermo_tpu.data.cameras import Cameras
     from thermo_tpu.engine.trainer import Trainer
 
-    cfg = thermal_nerf_config()
+    cfg = METHOD_CONFIGS[args.method]()
     cfg.steps_per_jit_loop = 10
     import dataclasses as _dc
 
@@ -120,7 +124,7 @@ def main() -> None:
             {
                 "metric": "train_rays_per_sec_per_chip",
                 "value": round(rays_per_sec, 1),
-                "unit": "rays/s (fwd+bwd+opt, thermal-nerf full config)",
+                "unit": f"rays/s (fwd+bwd+opt, {cfg.method_name} full config)",
                 "vs_baseline": round(rays_per_sec / PYTORCH_BASELINE_RAYS_PER_SEC, 4),
             }
         )

@@ -237,3 +237,71 @@ class TestProposalUpdateGating:
         f0 = np.asarray(g0["fields"]["grid"]["table"])
         f1 = np.asarray(g1["fields"]["grid"]["table"])
         np.testing.assert_allclose(f0, f1, rtol=1e-5, atol=1e-8)
+
+
+class TestTpuPreset:
+    """thermal-nerf-tpu: CP proposal fields + wide-feature hash grid +
+    one-corner stochastic table gradients (configs/methods.py)."""
+
+    def test_cp_proposal_model_trains_and_evals(self):
+        import dataclasses
+
+        from thermo_tpu.configs.methods import thermal_nerf_tpu_config
+        from thermo_tpu.data.cameras import RayBundle
+        from thermo_tpu.models.thermal_nerf import ThermoNerfModel
+
+        cfg = thermal_nerf_tpu_config().model
+        cfg = dataclasses.replace(
+            cfg,
+            num_proposal_samples_per_ray=(16, 8),
+            num_nerf_samples_per_ray=4,
+            log2_hashmap_size=10,
+            max_res=64,
+            proposal_net_args_list=tuple(
+                dataclasses.replace(a, max_res=16, rank=4)
+                for a in cfg.proposal_net_args_list
+            ),
+            compute_dtype="float32",
+        )
+        model = ThermoNerfModel(cfg, ((-1.0,) * 3, (1.0,) * 3), 4)
+        params = model.init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        n = 32
+        d = rng.normal(size=(n, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = RayBundle(
+            jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32),
+            jnp.asarray(d, jnp.float32),
+            jnp.asarray(rng.integers(0, 4, n), jnp.int32),
+        )
+
+        def loss(p):
+            out = model.forward(
+                p, rays, jax.random.PRNGKey(1), step=100.0,
+                prop_grad_flag=1.0, train=True,
+            )
+            total, _ = model.losses(
+                p, out, jnp.full((n, 3), 0.5), jnp.full((n, 1), 0.5),
+                rng=jax.random.PRNGKey(2),
+            )
+            return total
+
+        val, grads = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(val))
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+        # CP lines of both proposal nets receive gradient
+        for key in ("0", "1"):
+            assert (
+                float(
+                    jnp.abs(grads["proposal_networks"][key]["lines"]).sum()
+                )
+                > 0.0
+            )
+        # the wide-feature hash table receives gradient via the 1-corner
+        # stochastic estimator
+        assert float(jnp.abs(grads["fields"]["grid"]["table"]).sum()) > 0.0
+
+        out = model.forward(params, rays, None, train=False)
+        assert out["rgb"].shape == (n, 3)
+        assert out["thermal"].shape == (n, 1)

@@ -523,3 +523,61 @@ class TestStochasticCorners:
         sums = jax.tree_util.tree_map(lambda x: float(jnp.abs(x).sum()), g)
         assert sums["HashEncoding_0"]["table"] > 0.0
         assert sums["MLP_0"]["dense_0"]["bias"] > 0.0
+
+
+class TestLowRank:
+    """CP-factorized two-hot matmul encoding (ops/lowrank.py) — the
+    TPU-native proposal-field encoding (scatter/gather-free)."""
+
+    def test_cp_encode_matches_direct_interp(self):
+        from thermo_tpu.ops.lowrank import cp_encode
+
+        R, K, N = 17, 5, 203
+        lines = jax.random.normal(jax.random.PRNGKey(0), (3, R, K))
+        p = jax.random.uniform(jax.random.PRNGKey(1), (N, 3))
+
+        def ref_line(ln, c):
+            i0 = np.clip(np.floor(c), 0, R - 2).astype(int)
+            fr = c - i0
+            return ln[i0] * (1 - fr[:, None]) + ln[i0 + 1] * fr[:, None]
+
+        c = np.asarray(p) * (R - 1)
+        ref = (
+            ref_line(np.asarray(lines[0]), c[:, 0])
+            * ref_line(np.asarray(lines[1]), c[:, 1])
+            * ref_line(np.asarray(lines[2]), c[:, 2])
+        )
+        out = np.asarray(cp_encode(lines, p))
+        # bf16 matmul accumulation tolerance
+        np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
+
+    def test_cp_encode_gradients_finite_and_nonzero(self):
+        from thermo_tpu.ops.lowrank import cp_encode, init_cp_lines
+
+        lines = init_cp_lines(jax.random.PRNGKey(0), 33, 8)
+        p = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+        gl = jax.grad(lambda l: jnp.sum(cp_encode(l, p) ** 2))(lines)
+        gp = jax.grad(lambda q: jnp.sum(cp_encode(lines, q) ** 2))(p)
+        for g in (gl, gp):
+            a = np.asarray(g)
+            assert np.all(np.isfinite(a)) and np.abs(a).max() > 0
+
+    def test_cp_density_field_trains(self):
+        from thermo_tpu.models.field import CPDensityField
+
+        net = CPDensityField(
+            aabb=((-1.0,) * 3, (1.0,) * 3), resolution=16, rank=4,
+            hidden_dim=8, compute_dtype=jnp.float32,
+        )
+        p = jax.random.uniform(
+            jax.random.PRNGKey(0), (16, 3), minval=-0.5, maxval=0.5
+        )
+        v = net.init(jax.random.PRNGKey(1), p)
+        d = net.apply({"params": v["params"]}, p)
+        assert d.shape == (16, 1) and np.all(np.asarray(d) >= 0)
+        g = jax.grad(lambda prm: jnp.sum(net.apply({"params": prm}, p)))(
+            v["params"]
+        )
+        sums = jax.tree_util.tree_map(lambda x: float(jnp.abs(x).sum()), g)
+        assert sums["lines"] > 0.0
+        assert sums["MLP_0"]["dense_0"]["kernel"] > 0.0

@@ -116,17 +116,35 @@ def thermal_nerf_tiny_config() -> TrainerConfig:
 
 
 def thermal_nerf_tpu_config() -> TrainerConfig:
-    """TPU-throughput preset: identical model/optimizer/sampling scale to
-    ``thermal-nerf`` but with the unbiased stochastic-corner estimators
-    enabled (hash_grad_corners=2, proposal_fwd_corners=2). See
-    ops/hash_encoding.py and PERFORMANCE.md for the measured speed and
-    quality deltas vs the exact preset."""
+    """TPU-throughput preset: same capability class and sampling scale as
+    ``thermal-nerf`` (same sample counts, optimizer, losses, heads) with the
+    encoding re-shaped around v5e's measured memory-primitive costs
+    (PERFORMANCE.md):
+
+      * proposal density fields are CP-factorized two-hot matmul encodings
+        (ops/lowrank.py) — forward and backward are MXU matmuls, removing
+        ALL proposal hash gathers and gradient scatters;
+      * the final hash grid uses 4 levels x 8 features (same out_dim 32 and
+        table budget as nerfacto's 16x2) — per-index gather cost is flat up
+        to 8-wide f32 rows, so this cuts gather indices 4x for free;
+      * hash_grad_corners=1: unbiased one-corner table-gradient estimator
+        (scatter traffic is out_dim x corners and dominates the step).
+
+    Quality deltas vs the exact preset are tracked by
+    scripts/quality_ablation.py; eval rendering is exact everywhere."""
     import dataclasses
 
     cfg = thermal_nerf_config()
     cfg.method_name = "thermal-nerf-tpu"
     cfg.model = dataclasses.replace(
-        cfg.model, hash_grad_corners=2, proposal_fwd_corners=2
+        cfg.model,
+        num_levels=4,
+        features_per_level=8,
+        hash_grad_corners=1,
+        proposal_net_args_list=(
+            ProposalNetArgs(kind="cp", max_res=128, rank=32),
+            ProposalNetArgs(kind="cp", max_res=256, rank=32),
+        ),
     )
     return cfg
 

@@ -37,7 +37,11 @@ from jax import Array
 
 from thermo_tpu.data.cameras import RayBundle
 from thermo_tpu.models import camera_opt as co
-from thermo_tpu.models.field import HashMLPDensityField, ThermalNerfactoField
+from thermo_tpu.models.field import (
+    CPDensityField,
+    HashMLPDensityField,
+    ThermalNerfactoField,
+)
 from thermo_tpu.ops import losses as L
 from thermo_tpu.ops import rendering as R
 from thermo_tpu.ops.samplers import (
@@ -51,7 +55,12 @@ Params = Any
 
 @dataclasses.dataclass(frozen=True)
 class ProposalNetArgs:
-    """One HashMLPDensityField preset (nerfacto proposal_net_args_list)."""
+    """One proposal density-field preset (nerfacto proposal_net_args_list).
+
+    ``kind="hash"`` builds the reference-parity HashMLPDensityField;
+    ``kind="cp"`` builds the TPU-native CPDensityField (two-hot matmul
+    encoding at ``max_res`` resolution, rank ``rank`` — see ops/lowrank.py).
+    """
 
     hidden_dim: int = 16
     log2_hashmap_size: int = 17
@@ -60,6 +69,8 @@ class ProposalNetArgs:
     max_res: int = 128
     use_linear: bool = False
     features_per_level: int = 2
+    kind: str = "hash"  # "hash" | "cp"
+    rank: int = 32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -201,8 +212,20 @@ class ThermoNerfModel:
                 ]
                 for i in range(n)
             ]
-        self.proposal_nets = [
-            HashMLPDensityField(
+        def _build_proposal(a: ProposalNetArgs):
+            if a.kind == "cp":
+                return CPDensityField(
+                    aabb=self.aabb,
+                    resolution=a.max_res,
+                    rank=a.rank,
+                    num_layers=2,
+                    hidden_dim=a.hidden_dim,
+                    use_linear=a.use_linear,
+                    use_contraction=not config.disable_scene_contraction,
+                    average_init_density=config.average_init_density,
+                    compute_dtype=dtype,
+                )
+            return HashMLPDensityField(
                 aabb=self.aabb,
                 num_levels=a.num_levels,
                 max_res=a.max_res,
@@ -217,8 +240,8 @@ class ThermoNerfModel:
                 compute_dtype=dtype,
                 fwd_corners=config.proposal_fwd_corners,
             )
-            for a in args_list
-        ]
+
+        self.proposal_nets = [_build_proposal(a) for a in args_list]
         self.sampler_cfg = config.sampler_config()
 
     # ------------------------------------------------------------------

@@ -159,6 +159,42 @@ def width_scaling(quick: bool = False) -> None:
         secs = timed(run, jnp.zeros(()), table, idx, reps=reps)
         report(f"gather row-major [T,F={F}] ({N} idx)", secs, N)
 
+    # bf16 rows: does halving bytes/row extend the flat-cost region?
+    for F in (8, 16, 32):
+        table = jax.random.normal(kt, (F, T), jnp.bfloat16)
+
+        def op(carry, tbl, fi):
+            g = jnp.take(tbl, fi + depend(carry), axis=1)  # [F, N]
+            return carry + jnp.sum(g[:, :8].astype(jnp.float32))
+
+        run = chain(op, n_iter)
+        secs = timed(run, jnp.zeros(()), table, idx, reps=reps)
+        report(f"gather [F={F} bf16] pre-T ({N} idx)", secs, N)
+
+    # row scatter widths, fixed protocol (old table used a stale protocol)
+    for F, dt in ((2, jnp.float32), (4, jnp.float32), (8, jnp.float32),
+                  (8, jnp.bfloat16), (16, jnp.float32)):
+        vals = jax.random.normal(kg, (N, F), dt)
+
+        def op_row(carry, si, v):
+            d = jnp.zeros((T, F), dt).at[si + depend(carry)].add(v)
+            return carry + jnp.sum(d[:8, :]).astype(jnp.float32)
+
+        run = chain(op_row, n_iter)
+        secs = timed(run, jnp.zeros(()), idx, vals, reps=reps)
+        report(f"scatter row [F={F} {dt.__name__}] ({N} rows)", secs, N)
+
+    # scalar scatter baseline under the same protocol
+    vals = jax.random.normal(kg, (N,), jnp.float32)
+
+    def op_sc(carry, si, v):
+        d = jnp.zeros((T,), jnp.float32).at[si + depend(carry)].add(v)
+        return carry + jnp.sum(d[:8])
+
+    run = chain(op_sc, n_iter)
+    secs = timed(run, jnp.zeros(()), idx, vals, reps=reps)
+    report(f"scatter scalar ({N} updates)", secs, N)
+
     # ---- b. packed bf16 pair in int32: one scalar gather = 2 features ----
     packed = jax.random.randint(kt, (T,), 0, 2**31 - 1, jnp.int32)
 
@@ -196,6 +232,29 @@ def width_scaling(quick: bool = False) -> None:
         run = chain(op_twohot, n_iter)
         secs = timed(run, jnp.zeros(()), lines, x, reps=reps)
         report(f"two-hot matmul line [R={R},K={K}] ({N} pts)", secs, N)
+
+    # two-hot build variants: relu-hat form and bf16 arithmetic
+    for R, K, tag in ((256, 32, "reluhat-bf16"),):
+        lines = jax.random.normal(kt, (R, K), jnp.bfloat16)
+        x = jax.random.uniform(ki, (N,), jnp.float32, 0.0, float(R - 1))
+        CH = 1 << 15
+
+        def op_hat(carry, ln, xs):
+            def body(c, x_c):
+                x_c = x_c + jnp.float32(depend(c))
+                ar = jnp.arange(R, dtype=jnp.float32)[None]
+                w = jax.nn.relu(1.0 - jnp.abs(ar - x_c[:, None])).astype(
+                    jnp.bfloat16
+                )  # hat basis == linear interp
+                feats = jnp.dot(w, ln, preferred_element_type=jnp.float32)
+                return c + jnp.sum(feats[:8]), 0.0
+
+            c, _ = jax.lax.scan(body, carry, xs.reshape(-1, CH))
+            return c
+
+        run = chain(op_hat, n_iter)
+        secs = timed(run, jnp.zeros(()), lines, x, reps=reps)
+        report(f"two-hot {tag} [R={R},K={K}] ({N} pts)", secs, N)
 
     # two-hot backward shape: dV = W^T g — same matmul transposed
     R, K = 256, 32

@@ -450,6 +450,57 @@ class TestStochasticCorners:
         )(p)
         assert float(jnp.abs(gp).max()) == 0.0
 
+    def test_grad_levels_unbiased_in_aggregate(self):
+        """grad_levels=1 (of L=2) scatters each point's table grad into one
+        uniformly-drawn level scaled x2. Per point this is a subset of the
+        exact rows; aggregated over many points the per-level gradient mass
+        matches the exact gradient (unbiasedness, law of large numbers over
+        the independent per-point level draws)."""
+        spec = HashGridSpec(num_levels=2, base_res=4, max_res=8, log2_hashmap_size=8)
+        table = init_hash_table(jax.random.PRNGKey(0), spec) * 1e3
+        p = jax.random.uniform(
+            jax.random.PRNGKey(1), (4096, 3), minval=0.01, maxval=0.99
+        )
+        g_out = jnp.ones((4096, spec.out_dim))
+
+        def loss(t, **kw):
+            return jnp.vdot(hash_encode(t, p, spec, **kw), g_out)
+
+        g_exact = np.asarray(
+            jax.grad(lambda t: loss(t, grad_corners=64))(table)
+        )
+        g_stoch = np.asarray(
+            jax.grad(lambda t: loss(t, grad_corners=64, grad_levels=1))(table)
+        )
+        assert np.all((g_stoch != 0) <= (g_exact != 0))
+        # per-level aggregated mass approximately preserved (E exact)
+        np.testing.assert_allclose(
+            g_stoch.sum(axis=(1, 2)), g_exact.sum(axis=(1, 2)), rtol=0.1
+        )
+
+    def test_grad_levels_in_stoch_fwd_mode(self):
+        """grad_levels composes with fwd_corners: same subset/mass property."""
+        spec = HashGridSpec(num_levels=2, base_res=4, max_res=8, log2_hashmap_size=8)
+        table = init_hash_table(jax.random.PRNGKey(0), spec) * 1e3
+        p = jax.random.uniform(
+            jax.random.PRNGKey(1), (4096, 3), minval=0.01, maxval=0.99
+        )
+        g_out = jnp.ones((4096, spec.out_dim))
+
+        def loss(t, **kw):
+            return jnp.vdot(hash_encode(t, p, spec, **kw), g_out)
+
+        g_full = np.asarray(
+            jax.grad(lambda t: loss(t, fwd_corners=2))(table)
+        )
+        g_sub = np.asarray(
+            jax.grad(lambda t: loss(t, fwd_corners=2, grad_levels=1))(table)
+        )
+        assert np.all((g_sub != 0) <= (g_full != 0))
+        np.testing.assert_allclose(
+            g_sub.sum(axis=(1, 2)), g_full.sum(axis=(1, 2)), rtol=0.1
+        )
+
     def test_model_forward_with_tpu_knobs(self):
         """Full model forward/backward runs with both knobs enabled."""
         from thermo_tpu.models.thermal_nerf import (
@@ -498,6 +549,65 @@ class TestStochasticCorners:
         # the shared field table must receive gradient in stochastic mode
         ftab = grads["fields"]["grid"]["table"]
         assert float(jnp.abs(ftab).sum()) > 0.0
+
+    def test_final_field_fwd_corners_trains_and_evals_exact(self):
+        """hash_fwd_corners on the FINAL field: training still produces
+        finite grads with a nonzero table gradient, and the eval forward
+        (train=False) is bit-identical to an exact-config model (the
+        stochastic estimators are training-only)."""
+        import dataclasses
+
+        from thermo_tpu.data.cameras import RayBundle
+        from thermo_tpu.models.thermal_nerf import (
+            ModelConfig,
+            ProposalNetArgs,
+            ThermoNerfModel,
+        )
+
+        base = ModelConfig(
+            num_levels=2,
+            max_res=32,
+            log2_hashmap_size=8,
+            num_proposal_samples_per_ray=(8, 4),
+            num_nerf_samples_per_ray=4,
+            proposal_net_args_list=(
+                ProposalNetArgs(num_levels=2, max_res=16, log2_hashmap_size=7, hidden_dim=8),
+            )
+            * 2,
+            far_plane=4.0,
+            compute_dtype="float32",
+        )
+        cfg = dataclasses.replace(base, hash_fwd_corners=2)
+        model = ThermoNerfModel(cfg, ((-1.0,) * 3, (1.0,) * 3), num_train_images=2)
+        exact = ThermoNerfModel(base, ((-1.0,) * 3, (1.0,) * 3), num_train_images=2)
+        params = model.init_params(jax.random.PRNGKey(0))
+        d = np.random.default_rng(0).normal(size=(8, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = RayBundle(
+            origins=jnp.zeros((8, 3)),
+            directions=jnp.asarray(d, jnp.float32),
+            camera_indices=jnp.zeros((8,), jnp.int32),
+        )
+
+        def loss_fn(prm):
+            out = model.forward(prm, rays, jax.random.PRNGKey(1), step=100.0)
+            total, _ = model.losses(
+                prm, out, jnp.ones((8, 3)) * 0.5, jnp.ones((8, 1)) * 0.5
+            )
+            return total
+
+        val, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(val))
+        assert float(jnp.abs(grads["fields"]["grid"]["table"]).sum()) > 0.0
+
+        out_s = model.forward(params, rays, None, step=100.0, train=False)
+        out_e = exact.forward(params, rays, None, step=100.0, train=False)
+        np.testing.assert_array_equal(
+            np.asarray(out_s["rgb"]), np.asarray(out_e["rgb"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_s["thermal"]), np.asarray(out_e["thermal"])
+        )
 
     def test_density_field_grads_flow_through_fwd_corners(self):
         """HashMLPDensityField with stochastic-trilinear forward still

@@ -44,9 +44,10 @@ class HashEncoding(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     grad_corners: int = 0
     fwd_corners: int = 0
+    grad_levels: int = 0
 
     @nn.compact
-    def __call__(self, positions: Array) -> Array:
+    def __call__(self, positions: Array, exact: bool = False) -> Array:
         # The parameter is stored FLAT [L, T*F], not [L, T, F]: a minor dim
         # of F=2 invites XLA to materialize table-shaped tensors (gradients,
         # Adam moments) in T(8,128) tiling, padding 2 -> 128 lanes — a 64x
@@ -67,8 +68,9 @@ class HashEncoding(nn.Module):
             table.reshape(spec.num_levels, spec.table_size, spec.features_per_level),
             positions,
             spec,
-            grad_corners=self.grad_corners,
-            fwd_corners=self.fwd_corners,
+            grad_corners=0 if exact else self.grad_corners,
+            fwd_corners=0 if exact else self.fwd_corners,
+            grad_levels=0 if exact else self.grad_levels,
         )
 
 
@@ -110,6 +112,8 @@ class ThermalNerfactoField(nn.Module):
     use_pred_normals: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
     hash_grad_corners: int = 0  # 0 = exact table gradients
+    hash_fwd_corners: int = 0  # 0 = exact trilinear forward (training knob)
+    hash_grad_levels: int = 0  # 0 = table grads update all levels
 
     def setup(self):
         self.grid = HashEncoding(
@@ -121,6 +125,8 @@ class ThermalNerfactoField(nn.Module):
                 max_res=self.max_res,
             ),
             grad_corners=self.hash_grad_corners,
+            fwd_corners=self.hash_fwd_corners,
+            grad_levels=self.hash_grad_levels,
         )
         self.mlp_base = MLP(
             num_layers=self.num_layers,
@@ -189,10 +195,15 @@ class ThermalNerfactoField(nn.Module):
         p = p * selector[..., None]
         return p, selector
 
-    def get_density(self, positions: Array) -> tuple[Array, Array]:
-        """positions [..., 3] world -> (density [..., 1] f32, geo_feat [..., G])."""
+    def get_density(
+        self, positions: Array, exact: bool = False
+    ) -> tuple[Array, Array]:
+        """positions [..., 3] world -> (density [..., 1] f32, geo_feat [..., G]).
+
+        ``exact=True`` disables the stochastic-corner estimators for this call
+        (eval renders and analytic normals use exact trilinear)."""
         p, selector = self._normalize_positions(positions)
-        feats = self.grid(p)
+        feats = self.grid(p, exact=exact)
         h = self.mlp_base(feats)
         density_before = h[..., :1].astype(jnp.float32)
         geo_feat = h[..., 1:]
@@ -274,7 +285,7 @@ class ThermalNerfactoField(nn.Module):
         ``positions``: [..., 3]; computed with a VJP through get_density."""
 
         def density_sum(p):
-            d, _ = self.get_density(p)
+            d, _ = self.get_density(p, exact=True)
             return jnp.sum(d)
 
         grad = jax.grad(density_sum)(positions)
@@ -288,8 +299,9 @@ class ThermalNerfactoField(nn.Module):
         train: bool = True,
         compute_normals: bool = False,
     ) -> dict[str, Array]:
-        """Full field forward: positions/directions [..., 3]."""
-        density, geo_feat = self.get_density(positions)
+        """Full field forward: positions/directions [..., 3]. Eval
+        (``train=False``) always uses exact trilinear encoding."""
+        density, geo_feat = self.get_density(positions, exact=not train)
         outputs = self.get_head_outputs(geo_feat, directions, camera_indices, train)
         outputs["density"] = density
         if compute_normals:

@@ -152,6 +152,18 @@ class ModelConfig:
     # PERFORMANCE.md for measured speed/quality trade-offs.
     hash_grad_corners: int = 0
     proposal_fwd_corners: int = 0
+    # Stochastic-trilinear FORWARD on the FINAL field (0 = exact): training
+    # features become the mean of k Categorical(trilinear-weight)-sampled
+    # corners (unbiased); gather traffic drops 8/k and the backward needs no
+    # re-gather. Position gradients through the final encoding become zero —
+    # camera-pose gradients then flow only through the proposal fields and
+    # the compositing geometry. Eval renders stay exact.
+    hash_fwd_corners: int = 0
+    # Level-subsampled table gradients on the final field (0 = all levels):
+    # each point scatters into hash_grad_levels uniformly-drawn levels with
+    # value scaled L/j — unbiased, scatter traffic drops L/j further.
+    # Requires hash_grad_corners>0 or hash_fwd_corners>0.
+    hash_grad_levels: int = 0
 
     def sampler_config(self) -> ProposalSamplerConfig:
         return ProposalSamplerConfig(
@@ -200,6 +212,8 @@ class ThermoNerfModel:
             use_pred_normals=config.predict_normals,
             compute_dtype=dtype,
             hash_grad_corners=config.hash_grad_corners,
+            hash_fwd_corners=config.hash_fwd_corners,
+            hash_grad_levels=config.hash_grad_levels,
         )
         n = config.num_proposal_iterations
         if config.use_same_proposal_network:

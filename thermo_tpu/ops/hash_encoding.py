@@ -200,6 +200,7 @@ def hash_encode(
     spec: HashGridSpec,
     grad_corners: int = 0,
     fwd_corners: int = 0,
+    grad_levels: int = 0,
 ) -> Array:
     """Encode positions through the multires hash grid.
 
@@ -235,13 +236,27 @@ def hash_encode(
     and scatter traffic both drop 8/k. Position gradients through the
     encoding are zero in this mode — intended for proposal density fields
     only (their position gradients only tune the camera optimizer slightly).
+
+    ``grad_levels`` (0 = all levels): additionally subsample the TABLE
+    gradient over levels — each point scatters into ``grad_levels``
+    uniformly-drawn levels with value scaled by L/j (unbiased; scatter
+    traffic drops L/j on top of the corner subsampling). Requires a
+    stochastic mode (``grad_corners`` or ``fwd_corners``); position
+    gradients are unaffected (they keep using all levels).
     """
     batch_shape = positions.shape[:-1]
     p = positions.reshape(-1, 3)
+    j = int(grad_levels)
+    if j >= spec.num_levels:
+        j = 0
     if fwd_corners:
-        out = _hash_encode_stoch(table, p, spec, int(fwd_corners))
+        out = _hash_encode_stoch(table, p, spec, int(fwd_corners), j)
     else:
-        out = _hash_encode_vjp(table, p, spec, int(grad_corners))
+        assert not (j and not grad_corners), (
+            "grad_levels requires grad_corners>0 (the exact path scatters "
+            "per level by construction)"
+        )
+        out = _hash_encode_vjp(table, p, spec, int(grad_corners), j)
     return out.reshape(*batch_shape, spec.out_dim)
 
 
@@ -308,6 +323,63 @@ def _sample_corner_bits(geo: _AxisGeometry, k: int):
     return tuple(bits), geo.corner_index(*bits)
 
 
+def _sample_levels(geo: _AxisGeometry, j: int, num_levels: int) -> Array:
+    """Draw j level ids per point ~ Uniform{0..L-1}; [j, N] int32.
+
+    Derived statelessly from the level-0 geometry (fresh every step via ray
+    jitter, same trick as the corner draws; distinct salt so level draws are
+    independent of corner draws)."""
+    seed = (geo.hash_c[0][0] ^ geo.hash_c[1][0] ^ geo.hash_c[2][0])[:1]  # [1, N]
+    u = _derived_uniforms(seed, geo.frac[:1], j, salt=0x61C88647)  # [j, 1, N]
+    lvl = jnp.minimum(
+        (u[:, 0, :] * num_levels).astype(jnp.int32), num_levels - 1
+    )
+    return lvl  # [j, N]
+
+
+def _level_subsampled_scatter(
+    idx_sel: Array,
+    g_cf: Array,
+    geo: _AxisGeometry,
+    spec: HashGridSpec,
+    k: int,
+    j: int,
+    dtype,
+) -> Array:
+    """Table gradient with joint (level, corner) subsampling.
+
+    ``idx_sel``: [L, K, N] per-level corner-draw indices (k corner draws per
+    level, already computed); ``g_cf``: [F, L, N] cotangent. Each point
+    scatters only into ``j`` uniformly-drawn levels, with value
+    g * (L/j) / k — unbiased (E over level draws = sum over levels).
+    Scatter traffic: N * j * k * F scalar updates (vs N * L * k * F).
+    """
+    L, T, F = spec.num_levels, spec.table_size, spec.features_per_level
+    n = g_cf.shape[-1]
+    lvl = _sample_levels(geo, j, L)  # [j, N]
+    onehot = (
+        jnp.arange(L, dtype=jnp.int32)[:, None, None] == lvl[None]
+    )  # [L, j, N] bool
+    # select the drawn level's corner indices / cotangent via masked sums
+    # (pure VPU; take_along_axis over the L axis would lower to gathers)
+    idx_j = jnp.sum(
+        jnp.where(onehot[:, :, None, :], idx_sel[:, None, :, :], 0), axis=0
+    )  # [j, K, N]
+    g_j = jnp.einsum(
+        "fln,ljn->fjn", g_cf, onehot.astype(jnp.float32)
+    )  # [F, j, N]
+    flat = (idx_j + lvl[:, None, :] * T)[None] * F + jnp.arange(
+        F, dtype=jnp.int32
+    )[:, None, None, None]  # [F, j, K, N]
+    vals = jnp.broadcast_to(
+        (g_j * (float(L) / (j * k)))[:, :, None, :], (F, j, k, n)
+    )
+    d = jnp.zeros((L * T * F,), jnp.float32).at[flat.reshape(-1)].add(
+        vals.reshape(-1)
+    )
+    return d.reshape(L, T, F).astype(dtype)
+
+
 def _scatter_scalar_fused(
     idx_sel: Array, vals: Array, spec: HashGridSpec, dtype
 ) -> Array:
@@ -326,14 +398,18 @@ def _scatter_scalar_fused(
     return d.reshape(L, T, F).astype(dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _hash_encode_vjp(
-    table: Array, positions: Array, spec: HashGridSpec, grad_corners: int = 0
+    table: Array,
+    positions: Array,
+    spec: HashGridSpec,
+    grad_corners: int = 0,
+    grad_levels: int = 0,
 ) -> Array:
     return _hash_forward(table, positions, spec)[0]
 
 
-def _hash_encode_vjp_fwd(table, positions, spec, grad_corners):
+def _hash_encode_vjp_fwd(table, positions, spec, grad_corners, grad_levels):
     # Residuals are deliberately (table, positions), NOT the gathered corner
     # features: the train step runs under a lax.scan over steps_per_jit_loop
     # iterations, and scan AD stacks every residual across iterations —
@@ -343,7 +419,9 @@ def _hash_encode_vjp_fwd(table, positions, spec, grad_corners):
     return _hash_forward(table, positions, spec)[0], (table, positions)
 
 
-def _hash_encode_vjp_bwd(spec: HashGridSpec, grad_corners: int, res, g):
+def _hash_encode_vjp_bwd(
+    spec: HashGridSpec, grad_corners: int, grad_levels: int, res, g
+):
     """g: [N, L*F] cotangent.
 
     d_table: scalar scatters (feature dim folded into the index — ~5x
@@ -366,10 +444,15 @@ def _hash_encode_vjp_bwd(spec: HashGridSpec, grad_corners: int, res, g):
     if grad_corners:
         k = int(grad_corners)
         bits, idx_sel = _sample_corner_bits(geo, k)  # bits [L,k,N] x3
-        vals = jnp.broadcast_to(
-            (g_cf / k)[:, :, None, :], (F, L, k, n)
-        )  # [F, L, k, N]
-        d_table = _scatter_scalar_fused(idx_sel, vals, spec, table_dtype)
+        if grad_levels:
+            d_table = _level_subsampled_scatter(
+                idx_sel, g_cf, geo, spec, k, grad_levels, table_dtype
+            )
+        else:
+            vals = jnp.broadcast_to(
+                (g_cf / k)[:, :, None, :], (F, L, k, n)
+            )  # [F, L, k, N]
+            d_table = _scatter_scalar_fused(idx_sel, vals, spec, table_dtype)
 
         # ---- d_positions, sampled-corner estimator ----
         # Importance-weighted over the SAME Categorical(w) draws:
@@ -459,14 +542,14 @@ def _stoch_forward(table: Array, positions: Array, spec: HashGridSpec, k: int):
     return jnp.transpose(out, (2, 1, 0)).reshape(n, spec.out_dim), idx_sel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _hash_encode_stoch(
-    table: Array, positions: Array, spec: HashGridSpec, k: int
+    table: Array, positions: Array, spec: HashGridSpec, k: int, grad_levels: int = 0
 ) -> Array:
     return _stoch_forward(table, positions, spec, k)[0]
 
 
-def _hash_encode_stoch_fwd(table, positions, spec, k):
+def _hash_encode_stoch_fwd(table, positions, spec, k, grad_levels):
     out, _ = _stoch_forward(table, positions, spec, k)
     # residual = positions only (scan AD stacks residuals — see
     # _hash_encode_vjp_fwd); the corner draws are recomputed in bwd and match
@@ -474,7 +557,7 @@ def _hash_encode_stoch_fwd(table, positions, spec, k):
     return out, (jnp.zeros((), table.dtype), positions)
 
 
-def _hash_encode_stoch_bwd(spec: HashGridSpec, k: int, res, g):
+def _hash_encode_stoch_bwd(spec: HashGridSpec, k: int, grad_levels: int, res, g):
     """Table gradient of the sampled-corner mean; position gradient is zero
     (the sampled forward is piecewise-constant in position — documented
     limitation of fwd_corners mode, fine for proposal density fields)."""
@@ -484,8 +567,13 @@ def _hash_encode_stoch_bwd(spec: HashGridSpec, k: int, res, g):
     geo = _AxisGeometry(spec, positions)
     _, idx_sel = _sample_corner_bits(geo, k)  # same draws as forward
     g_cf = jnp.transpose(g.reshape(n, L, F), (2, 1, 0)).astype(jnp.float32)
-    vals = jnp.broadcast_to((g_cf / k)[:, :, None, :], (F, L, k, n))
-    d_table = _scatter_scalar_fused(idx_sel, vals, spec, table_proto.dtype)
+    if grad_levels:
+        d_table = _level_subsampled_scatter(
+            idx_sel, g_cf, geo, spec, k, grad_levels, table_proto.dtype
+        )
+    else:
+        vals = jnp.broadcast_to((g_cf / k)[:, :, None, :], (F, L, k, n))
+        d_table = _scatter_scalar_fused(idx_sel, vals, spec, table_proto.dtype)
     return d_table, jnp.zeros_like(positions)
 
 

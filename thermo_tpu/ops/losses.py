@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from thermo_tpu.ops.math import searchsorted, take_along_last
+from thermo_tpu.ops.math import bracket_above, bracket_below
 
 
 def mse(pred: Array, gt: Array) -> Array:
@@ -36,12 +36,12 @@ def _outer_measure(t0: Array, t1: Array, y1: Array) -> Array:
     cy1 = jnp.concatenate(
         [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1
     )  # [R, N1+1]
-    idx_lo = searchsorted(t1[..., :-1], t0[..., :-1], side="right") - 1
-    idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
-    idx_hi = searchsorted(t1[..., 1:], t0[..., 1:], side="right")
-    idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
-    cy1_lo = take_along_last(cy1[..., :-1], idx_lo)
-    cy1_hi = take_along_last(cy1[..., 1:], idx_hi)
+    # cy1 is nondecreasing (cumsum of nonnegative weights), so the
+    # searchsorted + take_along lookups are fused masked max/min reductions
+    # (ops/math.bracket_*) — gather-free forward AND scatter-free backward
+    # (take_along's VJP would scatter-add into cy1 here, y1 needs grads).
+    cy1_lo = bracket_below(t1[..., :-1], t0[..., :-1], cy1[..., :-1])
+    cy1_hi = bracket_above(t1[..., 1:], t0[..., 1:], cy1[..., 1:])
     return cy1_hi - cy1_lo
 
 

@@ -60,6 +60,43 @@ def searchsorted(a: jax.Array, v: jax.Array, side: str = "left") -> jax.Array:
     return jnp.sum(cmp.astype(jnp.int32), axis=-1)
 
 
+def bracket_below(
+    keys: jax.Array, v: jax.Array, vals: jax.Array, side: str = "right"
+) -> jax.Array:
+    """Gather-free ``vals[clip(searchsorted(keys, v, side) - 1, 0, N-1)]``.
+
+    ``keys``: [..., N] sorted; ``v``: [..., M] queries; ``vals``: [..., N]
+    NONDECREASING along the last axis (cdf / bin edges / cumsums — every hot
+    lookup in this codebase). Returns [..., M].
+
+    Rationale: take_along_axis lowers to per-element XLA gathers (~5-9 ns
+    each on v5e) and its BACKWARD is a scatter-add; at sampler/loss shapes
+    that is millions of gathers+scatters per train step. Because ``vals`` is
+    monotone, the value at the last key <= v equals a masked max — a fused
+    compare+reduce on the VPU with a dense (scatter-free) backward. The
+    [..., M, N] mask is fused into the reduction, never materialized.
+    """
+    if side == "right":
+        m = keys[..., None, :] <= v[..., :, None]
+    else:
+        m = keys[..., None, :] < v[..., :, None]
+    guarded = jnp.where(m, vals[..., None, :], vals[..., None, :1])
+    return jnp.max(guarded, axis=-1)
+
+
+def bracket_above(
+    keys: jax.Array, v: jax.Array, vals: jax.Array, side: str = "right"
+) -> jax.Array:
+    """Gather-free ``vals[clip(searchsorted(keys, v, side), 0, N-1)]``
+    (see bracket_below; ``vals`` must be nondecreasing)."""
+    if side == "right":
+        m = keys[..., None, :] <= v[..., :, None]
+    else:
+        m = keys[..., None, :] < v[..., :, None]
+    guarded = jnp.where(m, vals[..., None, -1:], vals[..., None, :])
+    return jnp.min(guarded, axis=-1)
+
+
 def take_along_last(a: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather along the last axis: a[..., idx] with batched indices.
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from thermo_tpu.ops.math import searchsorted, take_along_last
+from thermo_tpu.ops.math import bracket_above
 
 Background = Union[str, Array]  # "last_sample" | "random" | "black" | "white" | tensor
 
@@ -164,9 +164,8 @@ def render_depth_median(weights: Array, starts: Array, ends: Array) -> Array:
     steps = (starts + ends) / 2.0  # [..., S, 1]
     cum = jnp.cumsum(weights[..., 0], axis=-1)  # [..., S]
     half = jnp.full_like(cum[..., :1], 0.5)
-    idx = searchsorted(cum, half, side="left")  # [..., 1]
-    idx = jnp.clip(idx, 0, steps.shape[-2] - 1)
-    return take_along_last(steps[..., 0], idx)  # [..., 1]
+    # steps is increasing along S: gather-free first-crossing lookup
+    return bracket_above(cum, half, steps[..., 0], side="left")  # [..., 1]
 
 
 def render_depth_expected(weights: Array, starts: Array, ends: Array) -> Array:

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from thermo_tpu.ops.math import searchsorted, take_along_last
+from thermo_tpu.ops.math import bracket_above, bracket_below
 from thermo_tpu.ops.rendering import render_weights
 
 
@@ -170,13 +170,14 @@ def sample_pdf(
     else:
         u = u + 0.5 / num_bins
 
-    inds = searchsorted(cdf, u, side="right")  # [R, num_bins]
-    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
-    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
-    cdf_g0 = take_along_last(cdf, below)
-    cdf_g1 = take_along_last(cdf, above)
-    bins_g0 = take_along_last(existing.sbins, below)
-    bins_g1 = take_along_last(existing.sbins, above)
+    # Gather-free bracketing (ops/math.bracket_*): cdf and sbins are both
+    # nondecreasing, so the searchsorted + 4x take_along_axis of the
+    # reference lowers to fused masked max/min reductions — ~2.4M scalar
+    # gathers per train step removed from the two resampling rounds.
+    cdf_g0 = bracket_below(cdf, u, cdf)
+    cdf_g1 = bracket_above(cdf, u, cdf)
+    bins_g0 = bracket_below(cdf, u, existing.sbins)
+    bins_g1 = bracket_above(cdf, u, existing.sbins)
 
     t = jnp.clip(jnp.nan_to_num((u - cdf_g0) / (cdf_g1 - cdf_g0)), 0.0, 1.0)
     sbins = bins_g0 + t * (bins_g1 - bins_g0)

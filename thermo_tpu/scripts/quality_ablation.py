@@ -29,7 +29,10 @@ class AblationParameters:
     image_size: int = 128
     num_train: int = 24
     num_eval: int = 4
-    # comma-separated variant list: name=grad_corners/prop_fwd_corners
+    # comma-separated variant list:
+    #   name=grad_corners/prop_fwd_corners[/hash_fwd_corners[/grad_levels]][@method]
+    # e.g. "exact=0/0,tpu=1/0/0@thermal-nerf-tpu" ablates the full TPU
+    # preset (CP proposals + stochastic knobs) against the exact baseline.
     variants: str = "exact=0/0,gc2=2/0,tpu=2/2"
 
 
@@ -49,17 +52,28 @@ def main(params: AblationParameters) -> dict:
     results: dict[str, dict] = {}
     for spec in params.variants.split(","):
         name, knobs = spec.split("=")
-        gc, pf = (int(x) for x in knobs.split("/"))
+        method = None
+        if "@" in knobs:
+            knobs, method = knobs.split("@")
+        parts = [int(x) for x in knobs.split("/")]
+        gc, pf = parts[0], parts[1]
+        ff = parts[2] if len(parts) > 2 else 0
+        gl = parts[3] if len(parts) > 3 else 0
         print(f"=== variant {name}: hash_grad_corners={gc} "
-              f"proposal_fwd_corners={pf}", flush=True)
+              f"proposal_fwd_corners={pf} hash_fwd_corners={ff} "
+              f"hash_grad_levels={gl} method={method or 'thermal-nerf'}",
+              flush=True)
         run_params = te.TrainingParameters(
             experiment_name=f"ablation-{name}",
             model_output_folder=out_root / name,
             metrics_output_folder=out_root / name / "metrics",
             data=scene,
             max_num_iterations=params.iterations,
+            method=method,
             hash_grad_corners=gc,
             proposal_fwd_corners=pf,
+            hash_fwd_corners=ff,
+            hash_grad_levels=gl,
         )
         te.main(run_params)
         metrics = json.loads(

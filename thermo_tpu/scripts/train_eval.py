@@ -63,9 +63,11 @@ class TrainingParameters:
     tiny: bool = False  # use the CPU-runnable tiny preset
     resume: bool = False  # resume from the latest checkpoint in the exp dir
     # TPU-throughput knobs (None = keep the method preset's values); see
-    # ModelConfig.hash_grad_corners / proposal_fwd_corners.
+    # ModelConfig.hash_grad_corners / proposal_fwd_corners / hash_fwd_corners.
     hash_grad_corners: Optional[int] = None
     proposal_fwd_corners: Optional[int] = None
+    hash_fwd_corners: Optional[int] = None
+    hash_grad_levels: Optional[int] = None
 
 
 def modalities_for(model_type: ModelType) -> list[RenderedImageModality]:
@@ -104,7 +106,12 @@ def main(parameters: TrainingParameters) -> Path:
     )
     knob_overrides = {
         k: getattr(parameters, k)
-        for k in ("hash_grad_corners", "proposal_fwd_corners")
+        for k in (
+            "hash_grad_corners",
+            "proposal_fwd_corners",
+            "hash_fwd_corners",
+            "hash_grad_levels",
+        )
         if getattr(parameters, k) is not None
     }
     if knob_overrides:

@@ -33,17 +33,22 @@ def _timed_call(fn, *args) -> float:
     return float(np.median(ts))
 
 
-def loop_cost(body, init, iters: int = 32):
+def loop_cost(body, init, iters: int = 32, *operands):
     """Median wall time of ONE body application, tunnel-RTT-cancelled.
 
-    ``body(i, carry) -> carry``. Returns seconds per iteration.
+    ``body(i, carry, *operands) -> carry``. Operands are passed as jit
+    ARGUMENTS (closed-over device arrays would be baked into the HLO as
+    constants — the remote-compile tunnel rejects multi-MB payloads with
+    HTTP 413). Returns seconds per iteration.
     """
     import jax
     from jax import lax
 
     def run(k):
-        f = jax.jit(lambda c: lax.fori_loop(0, k, body, c))
-        return _timed_call(f, init)
+        def f(c, *ops):
+            return lax.fori_loop(0, k, lambda i, cc: body(i, cc, *ops), c)
+
+        return _timed_call(jax.jit(f), init, *operands)
 
     t1 = run(iters)
     t2 = run(2 * iters)
@@ -68,21 +73,22 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     print(f"devices: {jax.devices()}", flush=True)
+    zero = jnp.float32(0)
 
     # ---------------- gather ----------------
     if want("gather"):
         M = 1 << 21
         print(f"gather: M={M} indices, cost per INDEX (loop-in-jit)", flush=True)
         for log2t, F in ((19, 2), (19, 8), (15, 2), (12, 2)):
-            T = 1 << log2t
-            tbl = jnp.asarray(rng.normal(size=(F, 16 * T)), jnp.float32)
-            idx0 = jnp.asarray(rng.integers(0, 16 * T, (M,)), jnp.int32)
+            T16 = 16 << log2t
+            tbl = jnp.asarray(rng.normal(size=(F, T16)), jnp.float32)
+            idx0 = jnp.asarray(rng.integers(0, T16, (M,)), jnp.int32)
 
-            def body(i, c, tbl=tbl, idx0=idx0, T=T):
-                idx = (idx0 + i) & (16 * T - 1)
+            def body(i, c, tbl, idx0, T16=T16):
+                idx = (idx0 + i) & (T16 - 1)
                 return c + jnp.take(tbl, idx, axis=1).sum()
 
-            secs = loop_cost(body, jnp.float32(0))
+            secs = loop_cost(body, zero, 16, tbl, idx0)
             print(f"  T=16x2^{log2t} F={F}: {secs*1e3:8.2f} ms "
                   f"({secs/M*1e9:5.2f} ns/index, {secs/M/F*1e9:5.2f} ns/el)",
                   flush=True)
@@ -96,11 +102,11 @@ def main() -> None:
             idx0 = jnp.asarray(rng.integers(0, T, (M,)), jnp.int32)
             vals = jnp.asarray(rng.normal(size=(M,)), jnp.float32)
 
-            def body(i, c, idx0=idx0, vals=vals, T=T):
+            def body(i, c, idx0, vals, T=T):
                 idx = (idx0 + i) & (T - 1)
                 return c + jnp.zeros((T,), jnp.float32).at[idx].add(vals).sum()
 
-            secs = loop_cost(body, jnp.float32(0), iters=16)
+            secs = loop_cost(body, zero, 8, idx0, vals)
             print(f"  T=2^{log2t}: {secs*1e3:8.2f} ms ({secs/M*1e9:5.2f} ns/update)",
                   flush=True)
 
@@ -109,15 +115,9 @@ def main() -> None:
         N, R, K = 4096 * 256, 128, 32
         coords0 = jnp.asarray(rng.uniform(0, R - 1, (N,)), jnp.float32)
         lines = jnp.asarray(rng.normal(size=(R, K)), jnp.float32)
-        print(f"CP line-interp (N={N}, R={R}, K={K}) fwd:", flush=True)
+        print(f"CP line-interp (N={N}, R={R}, K={K}):", flush=True)
 
         from thermo_tpu.ops.lowrank import line_interp
-
-        def mk(fn):
-            def body(i, c):
-                coords = jnp.minimum(coords0 + 1e-6 * i, float(R - 1))
-                return c + fn(lines, coords).sum()
-            return body
 
         def big_bf16(lines, coords):
             i0 = jnp.clip(jnp.floor(coords), 0.0, float(R - 2))
@@ -136,25 +136,26 @@ def main() -> None:
             b = jnp.take(lines, i0i + 1, axis=0)
             return a * (1 - fr) + b * fr
 
-        for name, fn in (("current line_interp (map+remat)", line_interp),
-                         ("one big bf16 matmul", big_bf16),
-                         ("2-row gather + lerp", row_gather)):
-            secs = loop_cost(mk(fn), jnp.float32(0), iters=8)
-            print(f"  {name:34s} {secs*1e3:8.2f} ms ({secs/N*1e9:5.2f} ns/sample)",
-                  flush=True)
+        cases = (("current line_interp (map+remat)", line_interp),
+                 ("one big bf16 matmul", big_bf16),
+                 ("2-row gather + lerp", row_gather))
 
-        # fwd+bwd through each
-        print("CP line-interp fwd+bwd (d/dlines):", flush=True)
-        for name, fn in (("current line_interp (map+remat)", line_interp),
-                         ("one big bf16 matmul", big_bf16),
-                         ("2-row gather + lerp", row_gather)):
-            def body(i, c, fn=fn):
+        for name, fn in cases:
+            def body(i, c, lines, coords0, fn=fn):
+                coords = jnp.minimum(coords0 + 1e-6 * i, float(R - 1))
+                return c + fn(lines, coords).sum()
+            secs = loop_cost(body, zero, 8, lines, coords0)
+            print(f"  fwd     {name:34s} {secs*1e3:8.2f} ms "
+                  f"({secs/N*1e9:5.2f} ns/sample)", flush=True)
+
+        for name, fn in cases:
+            def body(i, c, lines, coords0, fn=fn):
                 coords = jnp.minimum(coords0 + 1e-6 * i, float(R - 1))
                 g = jax.grad(lambda l: fn(l, coords).sum())(lines)
                 return c + g.sum()
-            secs = loop_cost(body, jnp.float32(0), iters=8)
-            print(f"  {name:34s} {secs*1e3:8.2f} ms ({secs/N*1e9:5.2f} ns/sample)",
-                  flush=True)
+            secs = loop_cost(body, zero, 8, lines, coords0)
+            print(f"  fwd+bwd {name:34s} {secs*1e3:8.2f} ms "
+                  f"({secs/N*1e9:5.2f} ns/sample)", flush=True)
 
     # ---------------- full hash encode at workload shapes ----------------
     if want("encode"):
@@ -163,59 +164,52 @@ def main() -> None:
         )
 
         key = jax.random.PRNGKey(0)
-        print("hash_encode at workload shapes (4096 rays x 48 samples, "
-              "L=16 F=2 T=2^19):", flush=True)
-        spec = HashGridSpec()
-        table = init_hash_table(key, spec)
         N = 4096 * 48
         pos0 = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
-
-        for name, kw in (("fwd exact", dict()),
-                         ("fwd stoch k=2", dict(fwd_corners=2))):
-            def body(i, c, kw=kw):
-                p = jnp.minimum(pos0 + 1e-7 * i, 1.0)
-                return c + hash_encode(table, p, spec, **kw).sum()
-            secs = loop_cost(body, jnp.float32(0), iters=8)
-            ns = secs / (N * 16 * 8) * 1e9
-            print(f"  {name:26s} {secs*1e3:8.2f} ms ({ns:5.2f} ns/corner-8basis)",
+        for L, F in ((16, 2), (4, 8)):
+            spec = HashGridSpec(num_levels=L, features_per_level=F)
+            table = init_hash_table(key, spec)
+            print(f"hash_encode (4096x48 samples, L={L} F={F} T=2^19):",
                   flush=True)
 
-        for name, kw in (("fwd+bwd exact", dict()),
-                         ("fwd+bwd grad_corners=2", dict(grad_corners=2)),
-                         ("fwd+bwd grad_corners=1", dict(grad_corners=1)),
-                         ("fwd+bwd stoch fwd k=2", dict(fwd_corners=2))):
-            def body(i, c, kw=kw):
-                p = jnp.minimum(pos0 + 1e-7 * i, 1.0)
-                g = jax.grad(
-                    lambda t: hash_encode(t, p, spec, **kw).sum()
-                )(table)
-                return c + g.sum()
-            secs = loop_cost(body, jnp.float32(0), iters=8)
-            print(f"  {name:26s} {secs*1e3:8.2f} ms", flush=True)
+            for name, kw in (("fwd exact", dict()),
+                             ("fwd stoch k=2", dict(fwd_corners=2))):
+                def body(i, c, table, pos0, kw=kw, spec=spec):
+                    p = jnp.minimum(pos0 + 1e-7 * i, 1.0)
+                    return c + hash_encode(table, p, spec, **kw).sum()
+                secs = loop_cost(body, zero, 8, table, pos0)
+                print(f"  {name:26s} {secs*1e3:8.2f} ms", flush=True)
+
+            for name, kw in (("fwd+bwd exact", dict()),
+                             ("fwd+bwd grad_corners=2", dict(grad_corners=2)),
+                             ("fwd+bwd grad_corners=1", dict(grad_corners=1)),
+                             ("fwd+bwd stoch fwd k=2", dict(fwd_corners=2))):
+                def body(i, c, table, pos0, kw=kw, spec=spec):
+                    p = jnp.minimum(pos0 + 1e-7 * i, 1.0)
+                    g = jax.grad(
+                        lambda t: hash_encode(t, p, spec, **kw).sum()
+                    )(table)
+                    return c + g.sum()
+                secs = loop_cost(body, zero, 8, table, pos0)
+                print(f"  {name:26s} {secs*1e3:8.2f} ms", flush=True)
 
     # ---------------- MLP stack at workload shapes ----------------
     if want("mlp"):
-        print("final-field MLP stack (196K samples, 32->64->64->16 + heads):",
+        print("MLP matmul (1.57M samples x [64,64] bf16 chain x4):", flush=True)
+        N = 4096 * 384
+        x0 = jnp.asarray(rng.normal(size=(N, 64)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(64, 64)) * 0.1, jnp.bfloat16)
+
+        def body(i, c, x0, w):
+            x = x0 + jnp.bfloat16(1e-3) * jnp.bfloat16(i)
+            for _ in range(4):
+                x = jax.nn.relu(x @ w)
+            return c + x.sum().astype(jnp.float32)
+
+        secs = loop_cost(body, zero, 16, x0, w)
+        flops = N * 64 * 64 * 2 * 4
+        print(f"  fwd {secs*1e3:8.2f} ms ({flops/secs/1e12:.1f} TFLOP/s)",
               flush=True)
-        N = 4096 * 48
-        x0 = jnp.asarray(rng.normal(size=(N, 32)), jnp.bfloat16)
-        ws = [jnp.asarray(rng.normal(size=s), jnp.bfloat16) * 0.1
-              for s in ((32, 64), (64, 64), (64, 16), (31, 64), (64, 64),
-                        (64, 64), (64, 3), (15, 64), (64, 64), (64, 1))]
-
-        def body(i, c):
-            x = x0 + jnp.bfloat16(1e-3) * i
-            h = jax.nn.relu(x @ ws[0])
-            h = jax.nn.relu(h @ ws[1])
-            geo = h @ ws[2]
-            h2 = jax.nn.relu(jnp.concatenate(
-                [geo[:, 1:], jnp.tile(x[:, :16], (1, 1))], axis=-1) @ ws[7])
-            h2 = jax.nn.relu(h2 @ ws[8])
-            th = h2 @ ws[9]
-            return c + (geo.sum() + th.sum()).astype(jnp.float32)
-
-        secs = loop_cost(body, jnp.float32(0), iters=16)
-        print(f"  fwd {secs*1e3:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,37 @@ class TestMath:
         np.testing.assert_array_equal(np.asarray(got), want)
 
 
+    @pytest.mark.parametrize("side", ["left", "right"])
+    def test_bracket_matches_index_take(self, side):
+        """bracket_below/above == searchsorted + clip + take_along_axis on
+        monotone value arrays, including exact ties and out-of-range
+        queries (the gather-free hot-path replacement)."""
+        from thermo_tpu.ops.math import bracket_above, bracket_below
+
+        rng = np.random.default_rng(1)
+        # duplicate keys (ties) + queries equal to keys + out-of-range
+        keys = np.sort(
+            np.round(rng.uniform(size=(4, 16)), 1), axis=-1
+        )  # coarse grid -> plenty of exact ties
+        vals = np.cumsum(rng.uniform(size=(4, 16)), axis=-1)  # nondecreasing
+        v = np.concatenate(
+            [keys[:, ::3], rng.uniform(-0.2, 1.2, size=(4, 6))], axis=-1
+        )
+        inds = np.stack(
+            [np.searchsorted(keys[i], v[i], side=side) for i in range(4)]
+        )
+        lo = np.take_along_axis(vals, np.clip(inds - 1, 0, 15), axis=-1)
+        hi = np.take_along_axis(vals, np.clip(inds, 0, 15), axis=-1)
+        got_lo = np.asarray(
+            bracket_below(jnp.asarray(keys), jnp.asarray(v), jnp.asarray(vals), side=side)
+        )
+        got_hi = np.asarray(
+            bracket_above(jnp.asarray(keys), jnp.asarray(v), jnp.asarray(vals), side=side)
+        )
+        np.testing.assert_allclose(got_lo, lo, rtol=1e-6)
+        np.testing.assert_allclose(got_hi, hi, rtol=1e-6)
+
+
 class TestContraction:
     def test_identity_inside_unit_ball(self):
         x = jnp.array([[0.3, -0.2, 0.5]])

@@ -134,6 +134,27 @@ def main() -> None:
         "stoch1_gl2_rays_16384": dict(
             hash_fwd_corners=1, hash_grad_levels=2, _rays=16384
         ),
+        # ---- round 4: decompose the remaining non-table cost ----
+        "stoch1_gl2_prop_half": dict(
+            hash_fwd_corners=1, hash_grad_levels=2,
+            num_proposal_samples_per_ray=(128, 48),
+        ),
+        "stoch1_gl2_s24": dict(
+            hash_fwd_corners=1, hash_grad_levels=2, num_nerf_samples_per_ray=24
+        ),
+        "stoch1_gl2_noil": dict(
+            hash_fwd_corners=1, hash_grad_levels=2, interlevel_loss_mult=0.0
+        ),
+        "stoch1_gl2_nodist": dict(
+            hash_fwd_corners=1, hash_grad_levels=2, distortion_loss_mult=0.0
+        ),
+        "stoch1_gl2_rank16": dict(
+            hash_fwd_corners=1, hash_grad_levels=2,
+            proposal_net_args_list=(
+                ProposalNetArgs(kind="cp", max_res=128, rank=16),
+                ProposalNetArgs(kind="cp", max_res=256, rank=16),
+            ),
+        ),
     }
     only = set(filter(None, args.variants.split(",")))
 

@@ -1,9 +1,13 @@
-"""Pair, resize, and rename raw rgb/thermal captures into the ThermoScenes
-``frame_{train,eval}_%05d.png`` layout.
+"""Normalize raw rgb/thermal captures into the ThermoScenes frame layout.
 
-Equivalent of thermo_scenes/scripts/rename_files.py:10-126: pairs sorted
-``rgb_{train,eval}`` / ``thermal_{train,eval}`` dirs, resizes RGB to the
-thermal resolution (LANCZOS), writes ``*_processed`` dirs.
+Capability parity with thermo_scenes/scripts/rename_files.py: given a capture
+folder holding ``rgb_train``, ``thermal_train``, ``rgb_eval``, ``thermal_eval``
+directories, pair the i-th RGB image with the i-th thermal image (sorted
+order), resize the RGB image down to the thermal resolution (LANCZOS), and
+write both into ``<modality>_<split>_processed/frame_<split>_%05d.png``.
+
+Structured here as one split-level routine driven by a table of splits, with
+paired iteration done lazily per frame.
 """
 
 from __future__ import annotations
@@ -11,66 +15,53 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-from PIL import Image as PILImage
+from PIL import Image
 
-IMAGE_SUFFIXES = {".png", ".jpg", ".jpeg", ".PNG", ".JPG", ".JPEG"}
-
-
-def list_images(directory: Path) -> list[Path]:
-    return sorted(p for p in Path(directory).iterdir() if p.suffix in IMAGE_SUFFIXES)
+_SUFFIXES = {".png", ".jpg", ".jpeg"}
+SPLITS = ("train", "eval")
 
 
-def load_images(base_path: Path):
-    dirs = {
-        name: Path(base_path, name)
-        for name in ("rgb_train", "thermal_train", "rgb_eval", "thermal_eval")
-    }
-    for d in dirs.values():
-        if not d.exists():
-            raise Exception(f"Error: Directory {d} not found in {base_path}")
-    rgb_train = list_images(dirs["rgb_train"])
-    th_train = list_images(dirs["thermal_train"])
-    rgb_eval = list_images(dirs["rgb_eval"])
-    th_eval = list_images(dirs["thermal_eval"])
-    if len(rgb_train) != len(th_train):
-        raise Exception("Error: The number of RGB and thermal train images do not match.")
-    if len(rgb_eval) != len(th_eval):
-        raise Exception("Error: The number of RGB and thermal eval images do not match.")
-    return list(zip(rgb_train, th_train)), list(zip(rgb_eval, th_eval))
+def _frames(directory: Path) -> list[Path]:
+    if not directory.is_dir():
+        raise FileNotFoundError(f"expected capture directory {directory} to exist")
+    return sorted(p for p in directory.iterdir() if p.suffix.lower() in _SUFFIXES)
 
 
-def resize_image(image_path: Path, target_size: tuple):
-    with PILImage.open(image_path) as img:
-        return img.resize(target_size, PILImage.Resampling.LANCZOS)
-
-
-def save_images(images, base_path: Path, dir_name_rgb: str, dir_name_thermal: str, prefix: str) -> None:
-    if not images:
-        return
-    Path(base_path, dir_name_rgb).mkdir(exist_ok=True)
-    Path(base_path, dir_name_thermal).mkdir(exist_ok=True)
-    for index, (rgb_path, thermal_path) in enumerate(images, start=1):
-        name = f"{prefix}_{index:05d}.png"
-        with PILImage.open(thermal_path) as thermal_img:
-            target_size = (thermal_img.width, thermal_img.height)
-        resize_image(rgb_path, target_size).save(Path(base_path, dir_name_rgb, name))
-        resize_image(thermal_path, target_size).save(
-            Path(base_path, dir_name_thermal, name)
+def process_split(root: Path, split: str) -> int:
+    """Pair/resize/rename one split. Returns the number of frames written."""
+    rgb_frames = _frames(root / f"rgb_{split}")
+    thermal_frames = _frames(root / f"thermal_{split}")
+    if len(rgb_frames) != len(thermal_frames):
+        raise ValueError(
+            f"cannot pair {split} split: {len(rgb_frames)} rgb vs "
+            f"{len(thermal_frames)} thermal images"
         )
+
+    out_rgb = root / f"rgb_{split}_processed"
+    out_thermal = root / f"thermal_{split}_processed"
+    for d in (out_rgb, out_thermal):
+        d.mkdir(exist_ok=True)
+
+    for i, (rgb_path, thermal_path) in enumerate(zip(rgb_frames, thermal_frames), 1):
+        name = f"frame_{split}_{i:05d}.png"
+        with Image.open(thermal_path) as thermal:
+            size = thermal.size
+            thermal.save(out_thermal / name)
+        with Image.open(rgb_path) as rgb:
+            rgb.resize(size, Image.Resampling.LANCZOS).save(out_rgb / name)
+    return len(rgb_frames)
 
 
 def process(path_to_folder: Path) -> None:
-    train_images, eval_images = load_images(path_to_folder)
-    save_images(train_images, path_to_folder, "rgb_train_processed",
-                "thermal_train_processed", "frame_train")
-    save_images(eval_images, path_to_folder, "rgb_eval_processed",
-                "thermal_eval_processed", "frame_eval")
+    for split in SPLITS:
+        n = process_split(Path(path_to_folder), split)
+        print(f"{split}: wrote {n} paired frames")
 
 
 def cli() -> None:
-    p = argparse.ArgumentParser(description=process.__doc__)
-    p.add_argument("path_to_folder", type=Path)
-    process(p.parse_args().path_to_folder)
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("path_to_folder", type=Path, help="capture root directory")
+    process(parser.parse_args().path_to_folder)
 
 
 if __name__ == "__main__":

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import Array
@@ -33,60 +32,70 @@ def psnr(pred: Array, gt: Array, data_range: float = 1.0) -> Array:
     return 10.0 * jnp.log10(data_range**2 / jnp.maximum(m, 1e-12))
 
 
-def _gaussian_kernel(kernel_size: int, sigma: float) -> np.ndarray:
-    ax = np.arange(kernel_size) - (kernel_size - 1) / 2.0
+def _gaussian_1d(kernel_size: int, sigma: float) -> np.ndarray:
+    ax = np.arange(kernel_size, dtype=np.float64) - (kernel_size - 1) / 2.0
     g = np.exp(-0.5 * (ax / sigma) ** 2)
-    g = g / g.sum()
-    return np.outer(g, g).astype(np.float32)
+    return g / g.sum()
+
+
+def _gaussian_filter_valid(x: np.ndarray, g: np.ndarray) -> np.ndarray:
+    """Separable 2-D gaussian, VALID region, over [H, W, C] float64."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = sliding_window_view(x, len(g), axis=0)  # [H', W, C, k]
+    x = np.tensordot(w, g, axes=([3], [0]))
+    w = sliding_window_view(x, len(g), axis=1)  # [H', W', C, k]
+    return np.tensordot(w, g, axes=([3], [0]))
 
 
 def ssim(
-    pred: Array,
-    gt: Array,
+    pred,
+    gt,
     data_range: Optional[float] = None,
     kernel_size: int = 11,
     sigma: float = 1.5,
     k1: float = 0.01,
     k2: float = 0.03,
-) -> Array:
+) -> np.float64:
     """SSIM over [H, W, C] images, mean over valid windows and channels.
 
-    ``data_range=None`` reproduces torchmetrics' default: the larger of the
-    two tensors' (max - min).
+    Matches torchmetrics ``structural_similarity_index_measure`` defaults
+    (gaussian 11x11 sigma 1.5, k1=0.01, k2=0.03; ``data_range=None`` -> the
+    larger of the two images' max-min, as the reference binds it at
+    thermal_nerf_model.py:201,363), with explicit deviations for stability:
+
+      * computed host-side in **float64** — the fp32 ``E[x^2] - E[x]^2``
+        cancellation produced |SSIM| > 1 on low-dynamic-range renders
+        (round-2 regression);
+      * per-window variances are clamped to >= 0;
+      * a ``data_range`` of exactly 0 (two identical constant images) returns
+        1.0 instead of torchmetrics' nan.
+
+    With these guards the result is always in [-1, 1].
     """
-    pred = pred.astype(jnp.float32)
-    gt = gt.astype(jnp.float32)
+    pred = np.asarray(pred, dtype=np.float64)
+    gt = np.asarray(gt, dtype=np.float64)
+    if pred.ndim == 2:
+        pred, gt = pred[..., None], gt[..., None]
     if data_range is None:
-        data_range = jnp.maximum(
-            jnp.max(pred) - jnp.min(pred), jnp.max(gt) - jnp.min(gt)
+        data_range = max(
+            float(pred.max() - pred.min()), float(gt.max() - gt.min())
         )
-        data_range = jnp.maximum(data_range, 1e-6)
+    if data_range == 0.0:
+        return np.float64(1.0) if np.array_equal(pred, gt) else np.float64(0.0)
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
 
-    kern = jnp.asarray(_gaussian_kernel(kernel_size, sigma))[..., None, None]
-
-    def filt(x):  # [H, W, C] -> valid-region gaussian blur
-        x = jnp.transpose(x, (2, 0, 1))[..., None]  # [C, H, W, 1]
-        out = jax.lax.conv_general_dilated(
-            x, kern, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        return out[..., 0]  # [C, H', W']
-
-    mu_p = filt(pred)
-    mu_g = filt(gt)
-    mu_pp = filt(pred * pred)
-    mu_gg = filt(gt * gt)
-    mu_pg = filt(pred * gt)
-
-    sigma_p = mu_pp - mu_p * mu_p
-    sigma_g = mu_gg - mu_g * mu_g
-    sigma_pg = mu_pg - mu_p * mu_g
+    g = _gaussian_1d(kernel_size, sigma)
+    mu_p = _gaussian_filter_valid(pred, g)
+    mu_g = _gaussian_filter_valid(gt, g)
+    sigma_p = np.maximum(_gaussian_filter_valid(pred * pred, g) - mu_p * mu_p, 0.0)
+    sigma_g = np.maximum(_gaussian_filter_valid(gt * gt, g) - mu_g * mu_g, 0.0)
+    sigma_pg = _gaussian_filter_valid(pred * gt, g) - mu_p * mu_g
 
     num = (2 * mu_p * mu_g + c1) * (2 * sigma_pg + c2)
     den = (mu_p**2 + mu_g**2 + c1) * (sigma_p + sigma_g + c2)
-    return jnp.mean(num / den)
+    return np.float64(np.mean(num / den))
 
 
 def mae_thermal(

@@ -178,3 +178,59 @@ class TestReferenceCameraPath:
         h = int(np.asarray(cameras.height)[0])
         assert np.all(np.asarray(cameras.fx) > 0)
         assert np.all(np.asarray(cameras.cx) == pytest.approx(np.asarray(cameras.width)[0] / 2))
+
+
+class TestDownscaleFolders:
+    """nerfstudio `images_{factor}/` + `thermal_{factor}/` layout
+    (reference: thermal_dataparser.py:151-156 + inherited _get_fname)."""
+
+    @pytest.fixture(scope="class")
+    def downscaled_scene(self, tmp_path_factory):
+        from PIL import Image
+
+        root = make_synthetic_scene(tmp_path_factory.mktemp("ds_scene"), size=32)
+        for src, dst in (("images", "images_2"), ("thermal", "thermal_2")):
+            (root / dst).mkdir()
+            for p in sorted((root / src).iterdir()):
+                with Image.open(p) as img:
+                    img.resize((img.width // 2, img.height // 2)).save(root / dst / p.name)
+        return root
+
+    def test_explicit_factor_resolves_folders_and_intrinsics(self, downscaled_scene):
+        base = parse_transforms(DataparserConfig(data=downscaled_scene), "train")
+        out = parse_transforms(
+            DataparserConfig(data=downscaled_scene, downscale_factor=2), "train"
+        )
+        assert all("images_2" in str(p) for p in out.image_filenames)
+        assert all("thermal_2" in str(p) for p in out.thermal_filenames)
+        np.testing.assert_allclose(out.cameras.fx, base.cameras.fx / 2)
+        np.testing.assert_allclose(out.cameras.cx, base.cameras.cx / 2)
+        assert (out.cameras.width == base.cameras.width // 2).all()
+        # poses/transform unaffected by downscaling
+        np.testing.assert_allclose(out.cameras.c2w, base.cameras.c2w)
+
+    def test_explicit_factor_missing_folder_raises(self, scene):
+        with pytest.raises(FileNotFoundError, match="images_4"):
+            parse_transforms(DataparserConfig(data=scene, downscale_factor=4), "train")
+
+    def test_auto_discovery_picks_existing_folder(self, downscaled_scene, tmp_path):
+        # auto mode consults the metadata resolution: claim a >1600px source
+        # so discovery should step down into the existing images_2/.
+        meta = json.loads((downscaled_scene / "transforms.json").read_text())
+        meta["w"], meta["h"] = 3200, 2400
+        scene2 = tmp_path / "auto_scene"
+        scene2.mkdir()
+        for item in downscaled_scene.iterdir():
+            if item.name != "transforms.json":
+                (scene2 / item.name).symlink_to(item)
+        (scene2 / "transforms.json").write_text(json.dumps(meta))
+        out = parse_transforms(
+            DataparserConfig(data=scene2, downscale_factor=None), "train"
+        )
+        assert all("images_2" in str(p) for p in out.image_filenames)
+
+    def test_auto_discovery_small_images_stay_full_res(self, scene):
+        out = parse_transforms(
+            DataparserConfig(data=scene, downscale_factor=None), "train"
+        )
+        assert all("images_2" not in str(p) for p in out.image_filenames)

@@ -37,7 +37,11 @@ class DataparserConfig:
     data: Path = Path(".")
     scene_scale: float = 1.0
     scale_factor: float = 1.0
-    downscale_factor: int = 1
+    # None -> auto-discover from image resolution + images_{2,4,8}/ folders
+    # (nerfstudio convention; the reference subclass defaults to 1 at
+    # thermal_dataparser.py:41 but inherits folder resolution from the
+    # nerfstudio Nerfstudio dataparser used at :107,151).
+    downscale_factor: Optional[int] = 1
     orientation_method: str = "up"  # "up" | "none" | "vertical" | "pca"
     center_method: str = "poses"  # "poses" | "focus" | "none"
     auto_scale_poses: bool = True
@@ -220,10 +224,55 @@ def split_all(filenames: list) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def _get_fname(filepath: Path, data_dir: Path) -> Path:
-    """Resolve a frame's file path relative to the dataset dir (downsample
-    folder discovery omitted: downscale_factor is explicit here)."""
+MAX_AUTO_RESOLUTION = 1600
+
+
+def _get_fname(
+    filepath: Path, data_dir: Path, downscale: int = 1, prefix: str = "images_"
+) -> Path:
+    """Resolve a frame's file path relative to the dataset dir.
+
+    With ``downscale > 1`` the file is looked up in the nerfstudio-convention
+    sibling folder ``{prefix}{downscale}/<name>`` (``images_2/``,
+    ``thermal_2/``, ... — thermal_dataparser.py:151-156 uses the
+    ``thermal_`` prefix)."""
+    if downscale > 1:
+        folder = data_dir / f"{prefix}{downscale}"
+        if not folder.is_dir():
+            raise FileNotFoundError(
+                f"downscale_factor={downscale} requires the downsampled image "
+                f"folder {folder} (nerfstudio `images_{{factor}}/` layout)"
+            )
+        return folder / filepath.name
     return data_dir / filepath
+
+
+def _discover_downscale_factor(meta: dict, data_dir: Path) -> int:
+    """Auto-pick the downscale factor the nerfstudio way: halve until the
+    longest image side fits MAX_AUTO_RESOLUTION, stopping early if the next
+    ``images_{2^k}/`` folder does not exist."""
+    frames = meta.get("frames", [])
+    if not frames:
+        return 1
+    probe = data_dir / Path(frames[0]["file_path"])
+    if "w" in meta and "h" in meta:
+        w, h = int(meta["w"]), int(meta["h"])
+    elif "w" in frames[0] and "h" in frames[0]:
+        w, h = int(frames[0]["w"]), int(frames[0]["h"])
+    elif probe.exists():
+        from PIL import Image
+
+        with Image.open(probe) as img:
+            w, h = img.size
+    else:
+        return 1
+    factor = 1
+    while (
+        max(w, h) / factor > MAX_AUTO_RESOLUTION
+        and (data_dir / f"images_{factor * 2}").is_dir()
+    ):
+        factor *= 2
+    return factor
 
 
 def parse_transforms(
@@ -240,8 +289,16 @@ def parse_transforms(
     fixed = {k: k in meta for k in ("fl_x", "fl_y", "cx", "cy", "h", "w")}
     distort_fixed = any(k in meta for k in ("k1", "k2", "k3", "p1", "p2"))
 
+    downscale = (
+        _discover_downscale_factor(meta, data_dir)
+        if config.downscale_factor is None
+        else int(config.downscale_factor)
+    )
+
     # Sort frames by resolved filename.
-    fnames = [_get_fname(Path(f["file_path"]), data_dir) for f in meta["frames"]]
+    fnames = [
+        _get_fname(Path(f["file_path"]), data_dir, downscale) for f in meta["frames"]
+    ]
     inds = np.argsort([str(f) for f in fnames])
     frames = [meta["frames"][i] for i in inds]
 
@@ -251,7 +308,7 @@ def parse_transforms(
     fx, fy, cx, cy, height, width, distort = [], [], [], [], [], [], []
 
     for frame in frames:
-        fname = _get_fname(Path(frame["file_path"]), data_dir)
+        fname = _get_fname(Path(frame["file_path"]), data_dir, downscale)
         if not fixed["fl_x"]:
             fx.append(float(frame["fl_x"]))
         if not fixed["fl_y"]:
@@ -272,13 +329,21 @@ def parse_transforms(
         poses.append(np.array(frame["transform_matrix"], dtype=np.float64))
         if "thermal_file_path" in frame:
             thermal_filenames.append(
-                _get_fname(Path(frame["thermal_file_path"]), data_dir)
+                _get_fname(
+                    Path(frame["thermal_file_path"]),
+                    data_dir,
+                    downscale,
+                    prefix="thermal_",
+                )
             )
 
     # --- split ---
     has_split_files = any(f"{s}_filenames" in meta for s in ("train", "val", "test"))
     if f"{split}_filenames" in meta:
-        split_set = {str(_get_fname(Path(x), data_dir)) for x in meta[f"{split}_filenames"]}
+        split_set = {
+            str(_get_fname(Path(x), data_dir, downscale))
+            for x in meta[f"{split}_filenames"]
+        }
         unmatched = split_set.difference(str(p) for p in image_filenames)
         if unmatched:
             raise RuntimeError(f"Some filenames for split {split} were not found: {unmatched}")
@@ -348,7 +413,7 @@ def parse_transforms(
     else:
         dist = np.array(distort, dtype=np.float32)[indices]
 
-    f = 1.0 / config.downscale_factor
+    f = 1.0 / downscale
     cameras = ParsedCameras(
         fx=out_fx * f,
         fy=out_fy * f,

@@ -51,6 +51,30 @@ def _load_weights(path: Path) -> dict:
     return {k: np.asarray(data[k]) for k in data.files}
 
 
+def weight_manifest() -> dict[str, tuple]:
+    """Expected npz keys -> shapes (OIHW convs; [C] biases; [C] lin heads)."""
+    in_ch = 3
+    manifest: dict[str, tuple] = {}
+    for i, (out_ch, k, _, _) in enumerate(_ALEX_CONVS):
+        manifest[f"features.{_CONV_KEYS[i]}.weight"] = (out_ch, in_ch, k, k)
+        manifest[f"features.{_CONV_KEYS[i]}.bias"] = (out_ch,)
+        manifest[f"lins.{i}.weight"] = (out_ch,)
+        in_ch = out_ch
+    return manifest
+
+
+def random_weights(seed: int = 0) -> dict[str, np.ndarray]:
+    """Correctly-shaped random weight set (for structural tests)."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    for key, shape in weight_manifest().items():
+        w = rng.normal(scale=0.1, size=shape).astype(np.float32)
+        if key.startswith("lins"):
+            w = np.abs(w)  # LPIPS heads are non-negative
+        out[key] = w
+    return out
+
+
 def lpips_fn(
     weights_path: Optional[str] = None,
 ) -> Optional[Callable[[Array, Array], Array]]:
@@ -90,8 +114,10 @@ def lpips_fn(
         fa, fb = alex_features(a), alex_features(b)
         total = 0.0
         for i, (x, y) in enumerate(zip(fa, fb)):
-            xn = x / jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True) + 1e-10)
-            yn = y / jnp.sqrt(jnp.sum(y**2, axis=-1, keepdims=True) + 1e-10)
+            # richzhang normalize_tensor: x / (||x||_2 + eps), eps OUTSIDE
+            # the sqrt (PerceptualSimilarity lpips/__init__.py)
+            xn = x / (jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True)) + 1e-10)
+            yn = y / (jnp.sqrt(jnp.sum(y**2, axis=-1, keepdims=True)) + 1e-10)
             diff = (xn - yn) ** 2
             lin = jnp.asarray(w[f"lins.{i}.weight"]).reshape(-1)  # [C]
             # 1x1 conv with non-negative weights, then spatial mean

@@ -146,8 +146,9 @@ class TestHashEncoding:
         out = hash_encode(table, p, spec)
         res = int(spec.resolutions[0])
         vidx = 2 + 2 * res + 2 * res * res
+        # channels-first flat table: vertex features are column vidx
         np.testing.assert_allclose(
-            np.asarray(out)[0], np.asarray(table)[0, vidx], rtol=1e-5
+            np.asarray(out)[0], np.asarray(table)[:, vidx], rtol=1e-5
         )
 
     def test_gradient_flows_to_table(self):
@@ -506,7 +507,9 @@ class TestStochasticCorners:
         assert np.all((g_stoch != 0) <= (g_exact != 0))
         # per-level aggregated mass approximately preserved (E exact)
         np.testing.assert_allclose(
-            g_stoch.sum(axis=(1, 2)), g_exact.sum(axis=(1, 2)), rtol=0.1
+            g_stoch.reshape(g_stoch.shape[0], 2, -1).sum(axis=(0, 2)),
+            g_exact.reshape(g_exact.shape[0], 2, -1).sum(axis=(0, 2)),
+            rtol=0.1,
         )
 
     def test_grad_levels_in_stoch_fwd_mode(self):
@@ -529,7 +532,9 @@ class TestStochasticCorners:
         )
         assert np.all((g_sub != 0) <= (g_full != 0))
         np.testing.assert_allclose(
-            g_sub.sum(axis=(1, 2)), g_full.sum(axis=(1, 2)), rtol=0.1
+            g_sub.reshape(g_sub.shape[0], 2, -1).sum(axis=(0, 2)),
+            g_full.reshape(g_full.shape[0], 2, -1).sum(axis=(0, 2)),
+            rtol=0.1,
         )
 
     def test_model_forward_with_tpu_knobs(self):
@@ -722,3 +727,50 @@ class TestLowRank:
         sums = jax.tree_util.tree_map(lambda x: float(jnp.abs(x).sum()), g)
         assert sums["lines"] > 0.0
         assert sums["MLP_0"]["dense_0"]["kernel"] > 0.0
+
+
+class TestRowScatterBranch:
+    """F>=8 tables scatter whole rows instead of folded scalars (a v5e perf
+    choice); both branches must produce identical table gradients."""
+
+    def _grads(self, min_f, **kw):
+        import thermo_tpu.ops.hash_encoding as he
+
+        spec = HashGridSpec(
+            num_levels=2, base_res=4, max_res=8, log2_hashmap_size=8,
+            features_per_level=8,
+        )
+        table = init_hash_table(jax.random.PRNGKey(0), spec) * 1e3
+        p = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=0.01, maxval=0.99)
+        g_out = jnp.ones((64, spec.out_dim))
+        old = he._ROW_SCATTER_MIN_F
+        he._ROW_SCATTER_MIN_F = min_f
+        try:
+            return np.asarray(
+                jax.grad(
+                    lambda t: jnp.vdot(hash_encode(t, p, spec, **kw), g_out)
+                )(table)
+            )
+        finally:
+            he._ROW_SCATTER_MIN_F = old
+
+    def test_fused_scatter_row_equals_scalar(self):
+        np.testing.assert_allclose(
+            self._grads(8, grad_corners=2),
+            self._grads(999, grad_corners=2),
+            rtol=1e-6,
+        )
+
+    def test_level_subsampled_row_equals_scalar(self):
+        np.testing.assert_allclose(
+            self._grads(8, grad_corners=2, grad_levels=1),
+            self._grads(999, grad_corners=2, grad_levels=1),
+            rtol=1e-6,
+        )
+
+    def test_stoch_fwd_row_equals_scalar(self):
+        np.testing.assert_allclose(
+            self._grads(8, fwd_corners=1, grad_levels=1),
+            self._grads(999, fwd_corners=1, grad_levels=1),
+            rtol=1e-6,
+        )

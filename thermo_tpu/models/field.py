@@ -48,24 +48,27 @@ class HashEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, positions: Array, exact: bool = False) -> Array:
-        # The parameter is stored FLAT [L, T*F], not [L, T, F]: a minor dim
-        # of F=2 invites XLA to materialize table-shaped tensors (gradients,
-        # Adam moments) in T(8,128) tiling, padding 2 -> 128 lanes — a 64x
-        # expansion measured as a 4GB optimizer-state copy / HBM OOM on v5e.
-        # Flat rows tile perfectly; hash_encode reshapes (a bitcast) on entry.
+        # The parameter is stored CHANNELS-FIRST FLAT [F, L*T] — the one
+        # layout the forward gather (reads [F, L*T] rows), the backward
+        # column scatter (writes [F]-wide columns), and the Adam update
+        # (elementwise, huge axis minor -> perfect T(8,128) tiling, no
+        # padding) all share, so no relayout copies appear in the train step
+        # (round-3 trace finding; earlier [L,T,F] storage was a measured 64x
+        # padded-tiling HBM OOM, and flat [L, T*F] cost ~6ms/step in
+        # scatter-output <-> optimizer relayouts).
         spec = self.spec
         table = self.param(
             "table",
             lambda key: jax.random.uniform(
                 key,
-                (spec.num_levels, spec.table_size * spec.features_per_level),
+                (spec.features_per_level, spec.num_levels * spec.table_size),
                 dtype=self.param_dtype,
                 minval=-1e-4,
                 maxval=1e-4,
             ),
         )
         return hash_encode(
-            table.reshape(spec.num_levels, spec.table_size, spec.features_per_level),
+            table,
             positions,
             spec,
             grad_corners=0 if exact else self.grad_corners,
@@ -226,7 +229,14 @@ class ThermalNerfactoField(nn.Module):
 
         if self.appearance_embedding_dim > 0:
             if train:
-                embedded = self.embedding_appearance(camera_indices)
+                # one-hot matmul instead of nn.Embed's take: the take's VJP
+                # is a 196k-index scatter into [num_images, 32] (~1.7ms/step
+                # traced); onehot^T @ g is an MXU segment-sum (~free).
+                table = self.embedding_appearance.embedding
+                onehot = jax.nn.one_hot(
+                    camera_indices, table.shape[0], dtype=table.dtype
+                )
+                embedded = onehot @ table
             else:
                 table = self.embedding_appearance.embedding
                 if self.use_average_appearance_embedding:

@@ -86,8 +86,18 @@ class HashGridSpec:
 
 
 def init_hash_table(key: jax.Array, spec: HashGridSpec, dtype=jnp.float32) -> Array:
-    """tcnn-style init: uniform in [-1e-4, 1e-4], shape [L, T, F]."""
-    shape = (spec.num_levels, spec.table_size, spec.features_per_level)
+    """tcnn-style init: uniform in [-1e-4, 1e-4].
+
+    Table layout is CHANNELS-FIRST FLAT ``[F, L*T]`` (feature-major), chosen
+    so the three big per-step consumers agree on one byte order with no
+    relayout copies (round-3 trace finding: the former [L, T*F] param forced
+    ~6ms/step of {0,1}<->{1,0} copies + retiled reshapes between the scatter
+    output and the optimizer):
+      * forward gather reads [F, L*T] rows directly (take axis=1);
+      * the backward row scatter writes [F] columns at flat indices;
+      * Adam moments tile as T(8,128) with the huge axis minor — no padding.
+    """
+    shape = (spec.features_per_level, spec.num_levels * spec.table_size)
     return jax.random.uniform(key, shape, dtype=dtype, minval=-1e-4, maxval=1e-4)
 
 
@@ -204,7 +214,8 @@ def hash_encode(
 ) -> Array:
     """Encode positions through the multires hash grid.
 
-    ``table``: [L, T, F] parameters. ``positions``: [..., 3] in [0, 1]^3.
+    ``table``: [F, L*T] parameters (channels-first flat, see
+    ``init_hash_table``). ``positions``: [..., 3] in [0, 1]^3.
     Returns [..., L * F] features (table dtype).
 
     TPU layout note: every large intermediate keeps the big N (=points) axis
@@ -261,9 +272,8 @@ def hash_encode(
 
 
 def _gather_feats(table: Array, flat_idx: Array, spec: HashGridSpec) -> Array:
-    """[L,8,N] level-offset indices -> features [F, L, 8, N]."""
-    flat_table_t = table.reshape(-1, spec.features_per_level).T  # [F, L*T]
-    return jnp.take(flat_table_t, flat_idx, axis=1)
+    """table [F, L*T]; [L,8,N] level-offset indices -> features [F, L, 8, N]."""
+    return jnp.take(table, flat_idx, axis=1)
 
 
 def _hash_forward(table: Array, positions: Array, spec: HashGridSpec):
@@ -352,7 +362,7 @@ def _level_subsampled_scatter(
     level, already computed); ``g_cf``: [F, L, N] cotangent. Each point
     scatters only into ``j`` uniformly-drawn levels, with value
     g * (L/j) / k — unbiased (E over level draws = sum over levels).
-    Scatter traffic: N * j * k * F scalar updates (vs N * L * k * F).
+    Scatter traffic: N * j * k updates (vs N * L * k). Returns [F, L*T].
     """
     L, T, F = spec.num_levels, spec.table_size, spec.features_per_level
     n = g_cf.shape[-1]
@@ -368,34 +378,59 @@ def _level_subsampled_scatter(
     g_j = jnp.einsum(
         "fln,ljn->fjn", g_cf, onehot.astype(jnp.float32)
     )  # [F, j, N]
-    flat = (idx_j + lvl[:, None, :] * T)[None] * F + jnp.arange(
-        F, dtype=jnp.int32
-    )[:, None, None, None]  # [F, j, K, N]
+    col_idx = idx_j + lvl[:, None, :] * T  # [j, K, N]
     vals = jnp.broadcast_to(
         (g_j * (float(L) / (j * k)))[:, :, None, :], (F, j, k, n)
     )
-    d = jnp.zeros((L * T * F,), jnp.float32).at[flat.reshape(-1)].add(
+    if F >= _ROW_SCATTER_MIN_F:
+        # wide features: scatter [F]-wide columns (see _scatter_scalar_fused)
+        d = jnp.zeros((F, L * T), jnp.float32).at[:, col_idx.reshape(-1)].add(
+            vals.reshape(F, -1)
+        )
+        return d.astype(dtype)
+    flat = col_idx[None] + (
+        jnp.arange(F, dtype=jnp.int32) * (L * T)
+    )[:, None, None, None]  # [F, j, K, N] feature-major flat indices
+    d = jnp.zeros((F * L * T,), jnp.float32).at[flat.reshape(-1)].add(
         vals.reshape(-1)
     )
-    return d.reshape(L, T, F).astype(dtype)
+    return d.reshape(F, L * T).astype(dtype)
+
+
+# Feature width at/above which a row scatter beats F folded scalar
+# scatter-adds. Measured on v5e: F=2 rows cost 45ns vs 2x10ns scalar
+# (scalar wins); F=8 rows cost 41ns vs 8x10ns scalar (row wins ~2x).
+_ROW_SCATTER_MIN_F = 8
 
 
 def _scatter_scalar_fused(
     idx_sel: Array, vals: Array, spec: HashGridSpec, dtype
 ) -> Array:
-    """One fused scalar scatter-add over all levels.
+    """One fused scatter-add over all levels.
 
     ``idx_sel``: [L, K, N] per-level indices; ``vals``: [F, L, K, N] f32
-    (already scaled). Returns d_table [L, T, F]."""
+    (already scaled). Returns d_table [F, L*T] (channels-first flat).
+
+    Narrow features (F < 8) fold the feature dim into the index and issue
+    scalar adds; wide features (F >= 8, e.g. the thermal-nerf-tpu 4x8
+    layout) scatter whole [F]-wide columns — per-update cost on v5e is
+    ~10ns/scalar but only ~41ns/8-wide-column (true_microbench), so columns
+    win ~2x there."""
     L, T, F = spec.num_levels, spec.table_size, spec.features_per_level
     level_off = jnp.arange(L, dtype=jnp.int32)[:, None, None] * T
-    flat = ((idx_sel + level_off)[None] * F) + jnp.arange(F, dtype=jnp.int32)[
-        :, None, None, None
-    ]  # [F, L, K, N]
-    d = jnp.zeros((L * T * F,), jnp.float32).at[flat.reshape(-1)].add(
+    col_idx = idx_sel + level_off  # [L, K, N]
+    if F >= _ROW_SCATTER_MIN_F:
+        d = jnp.zeros((F, L * T), jnp.float32).at[:, col_idx.reshape(-1)].add(
+            vals.reshape(F, -1)
+        )
+        return d.astype(dtype)
+    flat = col_idx[None] + (
+        jnp.arange(F, dtype=jnp.int32) * (L * T)
+    )[:, None, None, None]  # [F, L, K, N] feature-major flat indices
+    d = jnp.zeros((F * L * T,), jnp.float32).at[flat.reshape(-1)].add(
         vals.reshape(-1)
     )
-    return d.reshape(L, T, F).astype(dtype)
+    return d.reshape(F, L * T).astype(dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -485,18 +520,19 @@ def _hash_encode_vjp_bwd(
     )  # [L, 8, N]
     w = _corner_weights(geo.frac)  # [L, 8, N]
 
-    # d_table: one scalar scatter per level (feature dim folded into index)
+    # d_table: one scalar scatter per level (feature dim folded into the
+    # index, feature-major to match the [F, L*T] layout)
     d_levels = []
-    feature_off = jnp.arange(F, dtype=jnp.int32)[None, :, None]  # [1, F, 1]
+    feature_off = (jnp.arange(F, dtype=jnp.int32) * T)[:, None, None]  # [F,1,1]
     for l in range(L):
         idx_l = idx[l]  # [8, N]
-        vals = w[l][:, None, :] * g_cf[:, l, :][None, :, :]  # [8, F, N]
-        scalar_idx = idx_l[:, None, :] * F + feature_off  # [8, F, N]
-        d_flat = jnp.zeros((T * F,), jnp.float32).at[
+        vals = g_cf[:, l, :][:, None, :] * w[l][None, :, :]  # [F, 8, N]
+        scalar_idx = idx_l[None, :, :] + feature_off  # [F, 8, N]
+        d_flat = jnp.zeros((F * T,), jnp.float32).at[
             scalar_idx.reshape(-1)
         ].add(vals.reshape(-1))
-        d_levels.append(d_flat.reshape(T, F))
-    d_table = jnp.stack(d_levels).astype(table_dtype)  # [L, T, F]
+        d_levels.append(d_flat.reshape(F, T))
+    d_table = jnp.stack(d_levels, axis=1).reshape(F, L * T).astype(table_dtype)
 
     # d_positions: exact, needs one re-gather of the corner feats.
     feats = _gather_feats(table, idx + level_offset, spec).astype(jnp.float32)

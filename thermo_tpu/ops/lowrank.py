@@ -33,20 +33,49 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-# Chunk of samples per two-hot matmul. [CHUNK, R] bf16 with R<=256 is <=16MB,
-# sized so XLA can tile the dot without spilling; the chunk body is remat'd so
-# the two-hot matrix is never saved as a residual (rebuilt in backward).
-_CHUNK = 1 << 15
+# Chunk of samples per two-hot matmul. The [3, CHUNK, R] bf16 two-hot tensor
+# is the large transient (<= 3 * 2^17 * 256 * 2B = 200MB); the chunk body is
+# remat'd so it is never saved as a residual (rebuilt in backward). Round-3
+# trace finding: small chunks (2^15) under lax.map serialized the proposal
+# encode behind a 134MB while-loop accumulator carry (~18ms/step); one
+# axis-batched dot_general per big chunk runs the same math at MXU rate.
+_CHUNK = 1 << 17
 
 
 def _twohot_chunk(lines: Array, coords: Array) -> Array:
-    """One chunk: coords [C] in [0, R-1] -> interpolated rows [C, K]."""
+    """One chunk, all 3 axes batched: coords [C, 3] in [0, R-1] ->
+    per-axis interpolated features multiplied together, [C, K]."""
+    r = lines.shape[1]
+    c3 = coords.T  # [3, C]
+    i0 = jnp.clip(jnp.floor(c3), 0.0, float(r - 2))
+    fr = (c3 - i0)[..., None]  # [3, C, 1]
+    i0 = i0.astype(jnp.int32)[..., None]  # [3, C, 1]
+    ar = jnp.arange(r, dtype=jnp.int32)[None, None]  # [1, 1, R]
+    w = (ar == i0) * (1.0 - fr) + (ar == i0 + 1) * fr  # [3, C, R] two-hot
+    f3 = jax.lax.dot_general(
+        w.astype(jnp.bfloat16),
+        lines.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),  # batched over axis 0
+        preferred_element_type=jnp.float32,
+    )  # [3, C, K]
+    return f3[0] * f3[1] * f3[2]
+
+
+def line_interp(lines: Array, coords: Array) -> Array:
+    """Linearly interpolate a line table at fractional coordinates via a
+    two-hot matmul (single axis; see ``cp_encode`` for the batched path).
+
+    ``lines``: [R, K] parameters. ``coords``: [N] in [0, R-1] (clamped).
+    Returns [N, K] f32. Differentiable in both arguments; the parameter
+    cotangent lowers to ``W^T @ g`` matmuls (no scatter), the coordinate
+    cotangent to a row-difference contraction (no gather).
+    """
     r = lines.shape[0]
     i0 = jnp.clip(jnp.floor(coords), 0.0, float(r - 2))
-    fr = (coords - i0)[:, None]  # [C, 1]
-    i0 = i0.astype(jnp.int32)[:, None]  # [C, 1]
+    fr = (coords - i0)[:, None]  # [N, 1]
+    i0 = i0.astype(jnp.int32)[:, None]
     ar = jnp.arange(r, dtype=jnp.int32)[None]  # [1, R]
-    w = (ar == i0) * (1.0 - fr) + (ar == i0 + 1) * fr  # [C, R] two-hot, f32
+    w = (ar == i0) * (1.0 - fr) + (ar == i0 + 1) * fr  # [N, R]
     return jnp.dot(
         w.astype(jnp.bfloat16),
         lines.astype(jnp.bfloat16),
@@ -54,38 +83,28 @@ def _twohot_chunk(lines: Array, coords: Array) -> Array:
     )
 
 
-def line_interp(lines: Array, coords: Array) -> Array:
-    """Linearly interpolate a line table at fractional coordinates, as
-    chunked two-hot matmuls.
-
-    ``lines``: [R, K] parameters. ``coords``: [N] in [0, R-1] (clamped).
-    Returns [N, K] f32. Differentiable in both arguments; the parameter
-    cotangent lowers to ``W^T @ g`` matmuls (no scatter), the coordinate
-    cotangent to a row-difference contraction (no gather).
-    """
-    n = coords.shape[0]
-    chunk = min(_CHUNK, max(256, 1 << (n - 1).bit_length()))
-    pad = (-n) % chunk
-    c = jnp.pad(coords, (0, pad))
-    body = jax.checkpoint(lambda xc: _twohot_chunk(lines, xc))
-    out = jax.lax.map(body, c.reshape(-1, chunk))  # [NC, chunk, K]
-    return out.reshape(-1, lines.shape[1])[:n]
-
-
 def cp_encode(lines: Array, positions: Array) -> Array:
     """TensoRF-CP encoding: positions [..., 3] in [0,1]^3 -> [..., K].
 
     ``lines``: [3, R, K] per-axis line tables. The rank-K feature is the
-    Hadamard product of the three interpolated per-axis vectors.
+    Hadamard product of the three interpolated per-axis vectors, computed as
+    ONE axis-batched two-hot dot_general per chunk of samples.
     """
     batch_shape = positions.shape[:-1]
     p = positions.reshape(-1, 3)
+    n = p.shape[0]
     r = lines.shape[1]
     coords = jnp.clip(p, 0.0, 1.0) * (r - 1)  # [N, 3]
-    f = line_interp(lines[0], coords[:, 0])
-    f = f * line_interp(lines[1], coords[:, 1])
-    f = f * line_interp(lines[2], coords[:, 2])
-    return f.reshape(*batch_shape, lines.shape[2])
+    body = jax.checkpoint(lambda xc: _twohot_chunk(lines, xc))
+    if n <= _CHUNK:
+        out = body(coords)
+    else:
+        pad = (-n) % _CHUNK
+        c = jnp.pad(coords, ((0, pad), (0, 0)))
+        out = jax.lax.map(body, c.reshape(-1, _CHUNK, 3)).reshape(
+            -1, lines.shape[2]
+        )[:n]
+    return out.reshape(*batch_shape, lines.shape[2])
 
 
 def init_cp_lines(key: jax.Array, resolution: int, rank: int) -> Array:

@@ -39,7 +39,7 @@ from jax import Array
 # trace finding: small chunks (2^15) under lax.map serialized the proposal
 # encode behind a 134MB while-loop accumulator carry (~18ms/step); one
 # axis-batched dot_general per big chunk runs the same math at MXU rate.
-_CHUNK = 1 << 17
+_CHUNK = 1 << 21
 
 
 def _twohot_chunk(lines: Array, coords: Array) -> Array:
@@ -51,9 +51,12 @@ def _twohot_chunk(lines: Array, coords: Array) -> Array:
     fr = (c3 - i0)[..., None]  # [3, C, 1]
     i0 = i0.astype(jnp.int32)[..., None]  # [3, C, 1]
     ar = jnp.arange(r, dtype=jnp.int32)[None, None]  # [1, 1, R]
-    w = (ar == i0) * (1.0 - fr) + (ar == i0 + 1) * fr  # [3, C, R] two-hot
+    fr16 = fr.astype(jnp.bfloat16)
+    w = jnp.where(ar == i0, 1.0 - fr16, 0.0) + jnp.where(
+        ar == i0 + 1, fr16, 0.0
+    )  # [3, C, R] two-hot, built directly in bf16
     f3 = jax.lax.dot_general(
-        w.astype(jnp.bfloat16),
+        w,
         lines.astype(jnp.bfloat16),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),  # batched over axis 0
         preferred_element_type=jnp.float32,

@@ -3,13 +3,18 @@ of the flagship thermal-nerf config (full nerfacto scale: 16x2^19 hash grid,
 2 proposal nets at 256/96 samples, 48 final samples, RGB+thermal heads,
 4096 rays/batch, bf16 compute) on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+With no arguments, benchmarks BOTH shipped methods and prints one JSON line
+per method — the exact reference-parity ``thermal-nerf`` first, then the
+flagship ``thermal-nerf-tpu`` LAST (the driver parses the final line as the
+headline {"metric", "value", "unit", "vs_baseline"}). ``--method`` restricts
+to a single method.
 
 Baseline: the reference (nerfstudio/tcnn ThermoNeRF) publishes no throughput
-numbers (BASELINE.md). ``vs_baseline`` is measured against a documented
-estimate of the reference's single-GPU training throughput at identical
-settings: nerfacto-class models train 30k iterations x 4096 rays in roughly
-20 minutes on the consumer GPUs the reference targets, i.e. ~1e5 rays/s.
+numbers. ``vs_baseline`` divides by a documented, source-cited estimate of
+the reference's single-GPU training throughput at identical settings:
+nerfacto's published 30k-iteration/20-minute single-GPU budget at 4096
+rays/batch = ~1e5 rays/s (see BASELINE.md "The 100k rays/s PyTorch-baseline
+denominator" for citations and the ±2x error window).
 """
 
 from __future__ import annotations
@@ -39,10 +44,11 @@ def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--method", default="thermal-nerf-tpu",
+    ap.add_argument("--method", default=None,
                     help="method preset to benchmark (thermal-nerf = exact "
                          "reference-parity numerics; thermal-nerf-tpu = the "
-                         "TPU-native flagship, same capability/sampling scale)")
+                         "TPU-native flagship, same capability/sampling "
+                         "scale). Default: both, flagship reported last.")
     ap.add_argument("--grad-corners", type=int, default=None,
                     help="override model.hash_grad_corners (0 = exact)")
     ap.add_argument("--prop-fwd-corners", type=int, default=None,
@@ -50,13 +56,20 @@ def main() -> None:
     args = ap.parse_args()
 
     jax = _init_jax()
+
+    methods = [args.method] if args.method else ["thermal-nerf", "thermal-nerf-tpu"]
+    for method in methods:
+        _bench_method(jax, method, args)
+
+
+def _bench_method(jax, method: str, args) -> None:
     import jax.numpy as jnp
 
     from thermo_tpu.configs.methods import METHOD_CONFIGS
     from thermo_tpu.data.cameras import Cameras
     from thermo_tpu.engine.trainer import Trainer
 
-    cfg = METHOD_CONFIGS[args.method]()
+    cfg = METHOD_CONFIGS[method]()
     cfg.steps_per_jit_loop = 10
     import dataclasses as _dc
 
@@ -127,7 +140,8 @@ def main() -> None:
                 "unit": f"rays/s (fwd+bwd+opt, {cfg.method_name} full config)",
                 "vs_baseline": round(rays_per_sec / PYTORCH_BASELINE_RAYS_PER_SEC, 4),
             }
-        )
+        ),
+        flush=True,
     )
 
 

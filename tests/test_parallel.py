@@ -13,7 +13,11 @@ from thermo_tpu.configs.methods import thermal_nerf_tiny_config
 from thermo_tpu.data.cameras import Cameras
 from thermo_tpu.engine.trainer import Trainer
 from thermo_tpu.models.thermal_nerf import ModelConfig, ProposalNetArgs, ThermoNerfModel
-from thermo_tpu.parallel.mesh import data_mesh, shard_batch_spec
+from thermo_tpu.parallel.mesh import (
+    data_mesh,
+    data_model_mesh,
+    shard_batch_spec,
+)
 
 
 def _tiny(num_rays=64):
@@ -84,6 +88,35 @@ class TestShardedTraining:
 
         mesh = data_mesh()
         t_mesh = Trainer(cfg, model, cameras, images, thermal, mesh=mesh)
+        with mesh:
+            s2, m2 = t_mesh.train_steps(
+                t_mesh.state, t_mesh.images, t_mesh.thermal, t_mesh.cameras
+            )
+        np.testing.assert_allclose(
+            float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-5
+        )
+        g1 = np.asarray(s1.params["fields"]["grid"]["table"])
+        g2 = np.asarray(s2.params["fields"]["grid"]["table"])
+        np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-7)
+
+    def test_table_sharded_matches_unsharded(self):
+        """("data","model") mesh: hash tables sharded over the model axis
+        (SURVEY §2c's 16x2^19-table sharding story) must train identically
+        to the replicated single-device run — XLA partitions the gather /
+        scatter over table shards and inserts the collectives."""
+        cfg, cameras, images, thermal = _tiny(num_rays=64)
+        model = ThermoNerfModel(cfg.model, ((-1.0,) * 3, (1.0,) * 3), 4)
+
+        t_single = Trainer(cfg, model, cameras, images, thermal, mesh=None)
+        s1, m1 = t_single.train_steps(
+            t_single.state, t_single.images, t_single.thermal, t_single.cameras
+        )
+
+        mesh = data_model_mesh(model_axis=2)
+        assert mesh.shape == {"data": 4, "model": 2}
+        t_mesh = Trainer(cfg, model, cameras, images, thermal, mesh=mesh)
+        table = t_mesh.state.params["fields"]["grid"]["table"]
+        assert table.sharding.spec == jax.sharding.PartitionSpec(None, "model")
         with mesh:
             s2, m2 = t_mesh.train_steps(
                 t_mesh.state, t_mesh.images, t_mesh.thermal, t_mesh.cameras

@@ -246,6 +246,12 @@ class Trainer:
 
         rng = jax.random.PRNGKey(config.seed)
         self.state, self.tx = create_train_state(model, config, rng)
+        if mesh is not None:
+            # Explicit placement: params/opt-state replicated, except hash
+            # tables which shard over an optional "model" axis (SURVEY §2c).
+            from thermo_tpu.parallel.mesh import shard_params_for_mesh
+
+            self.state = shard_params_for_mesh(mesh, self.state)
         self.train_steps = make_train_step(model, self.tx, config, mesh)
         self.logs: list[TrainLog] = []
         self._eval_batch_fn = None
@@ -341,6 +347,7 @@ class Trainer:
         self,
         max_iterations: Optional[int] = None,
         checkpoint_cb: Optional[Callable[[int, TrainState], None]] = None,
+        max_seconds: Optional[float] = None,
     ) -> list[TrainLog]:
         """Drive the jitted loop.
 
@@ -349,6 +356,12 @@ class Trainer:
         fetch — the only reliable synchronization on tunneled TPU runtimes)
         only at log/checkpoint boundaries, letting XLA pipeline the scanned
         step calls in between.
+
+        ``max_seconds``: optional wall-clock training budget (iso-wall-clock
+        ablations). The clock starts AFTER the first jitted call returns
+        (compile excluded — a one-off equal for all variants) and every call
+        is synchronized with a host fetch so elapsed time tracks device
+        progress, not the dispatch queue.
         """
         cfg = self.config
         max_iters = max_iterations or cfg.max_num_iterations
@@ -362,11 +375,33 @@ class Trainer:
         sync_step = host_step
         pending_eval: dict[str, float] = {}
 
+        budget_t0: Optional[float] = None
         while host_step < max_iters:
             self.state, metrics = self.train_steps(
                 self.state, self.images, self.thermal, self.cameras
             )
             host_step += loop
+            if max_seconds is not None:
+                _ = float(metrics["total_loss"])  # sync (see docstring)
+                now = time.perf_counter()
+                if budget_t0 is None:
+                    budget_t0 = now  # first call done = compile excluded
+                    sync_t, sync_step = now, host_step
+                elif now - budget_t0 >= max_seconds:
+                    if checkpoint_cb is not None:
+                        checkpoint_cb(host_step, self.state)
+                    self.logs.append(TrainLog(
+                        step=host_step,
+                        metrics={k: float(v) for k, v in metrics.items()},
+                        rays_per_sec=(
+                            cfg.train_num_rays_per_batch
+                            * (host_step - sync_step)
+                            / max(now - sync_t, 1e-9)
+                        ),
+                    ))
+                    if self.log_fn is not None:
+                        self.log_fn(self.logs[-1])
+                    return self.logs
 
             if self._eval_batch_fn is not None and host_step >= next_eval:
                 pending_eval = self.run_eval_batch()

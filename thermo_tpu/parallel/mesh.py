@@ -48,6 +48,24 @@ def data_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(devs, axis_names=("data",))
 
 
+def data_model_mesh(
+    model_axis: int, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """2-D ("data", "model") mesh: the optional hash-table sharding axis
+    (SURVEY §2c). ``model_axis`` divides the device count; rays shard over
+    "data" and the [F, L*T] hash tables shard their flat entry axis over
+    "model" (see ``shard_params_for_mesh``)."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    if devs.size % model_axis:
+        raise ValueError(
+            f"model_axis={model_axis} must divide device count {devs.size}"
+        )
+    return Mesh(
+        devs.reshape(devs.size // model_axis, model_axis),
+        axis_names=("data", "model"),
+    )
+
+
 def shard_batch_spec(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard axis 0 (rays) over "data", replicate the rest."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
@@ -55,3 +73,37 @@ def shard_batch_spec(mesh: Mesh, ndim: int) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def table_spec(mesh: Mesh) -> NamedSharding:
+    """Sharding for a [F, L*T] hash table: entries split over "model"."""
+    return NamedSharding(mesh, P(None, "model"))
+
+
+def _is_table_path(path) -> bool:
+    return any(
+        getattr(p, "key", getattr(p, "name", None)) == "table" for p in path
+    )
+
+
+def shard_params_for_mesh(mesh: Mesh, tree):
+    """Place a params-shaped pytree (params, grads, or optimizer moments)
+    on ``mesh``: hash-table leaves (dict key ``"table"``, shape [F, L*T])
+    shard their entry axis over the "model" axis when present and evenly
+    divisible; everything else is replicated. XLA then partitions the
+    forward gather / backward scatter over the table shards and inserts the
+    reduce-scatter/all-gather collectives itself."""
+    has_model = "model" in mesh.axis_names and mesh.shape.get("model", 1) > 1
+    model_size = mesh.shape.get("model", 1)
+
+    def place(path, leaf):
+        if (
+            has_model
+            and _is_table_path(path)
+            and getattr(leaf, "ndim", 0) == 2
+            and leaf.shape[1] % model_size == 0
+        ):
+            return jax.device_put(leaf, table_spec(mesh))
+        return jax.device_put(leaf, replicated(mesh))
+
+    return jax.tree_util.tree_map_with_path(place, tree)

@@ -68,6 +68,9 @@ class TrainingParameters:
     proposal_fwd_corners: Optional[int] = None
     hash_fwd_corners: Optional[int] = None
     hash_grad_levels: Optional[int] = None
+    # wall-clock training budget in seconds (iso-wall-clock ablations);
+    # stops training when exceeded, before max_num_iterations
+    max_seconds: Optional[float] = None
 
 
 def modalities_for(model_type: ModelType) -> list[RenderedImageModality]:
@@ -172,7 +175,7 @@ def main(parameters: TrainingParameters) -> Path:
             print(f"resumed from {latest} at step {step}", flush=True)
 
     t0 = time.time()
-    trainer.train(checkpoint_cb=save_cb)
+    trainer.train(checkpoint_cb=save_cb, max_seconds=parameters.max_seconds)
     tracker.close()
     print(f"training done in {time.time()-t0:.0f}s", flush=True)
 

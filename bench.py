@@ -37,6 +37,9 @@ def _init_jax():
     except RuntimeError:
         jax.config.update("jax_platforms", "")
         jax.devices()
+    from thermo_tpu.utils.platform import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     return jax
 
 

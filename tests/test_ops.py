@@ -158,6 +158,73 @@ class TestHashEncoding:
         g = jax.grad(lambda t: jnp.sum(hash_encode(t, p, spec) ** 2))(table)
         assert np.asarray(jnp.abs(g)).sum() > 0
 
+    def test_dense_matmul_path_matches_gather(self, monkeypatch):
+        """The dense-level MXU einsum path (hash_encoding._dense_encode)
+        must reproduce the gather path exactly: same values, same d_table,
+        same d_positions — including the flat-index border overflow
+        semantics at p=1 (floor+1 reading the next row/plane)."""
+        import thermo_tpu.ops.hash_encoding as he
+
+        # 3 levels: res 4, 8 dense (64, 512 <= T=1024), res 16 hashed (4096 > T)
+        spec = HashGridSpec(
+            num_levels=3, base_res=4, max_res=16, log2_hashmap_size=10
+        )
+        assert list(spec.use_hash) == [False, False, True]
+        assert he._num_dense_matmul_levels(spec, 32) == 2
+        table = init_hash_table(jax.random.PRNGKey(5), spec)
+        p = jax.random.uniform(jax.random.PRNGKey(6), (30, 3))
+        # border cases: exact 0 and 1 exercise the overflow parity
+        p = jnp.concatenate([p, jnp.zeros((1, 3)), jnp.ones((1, 3))], axis=0)
+
+        def run(t, pos):
+            out = hash_encode(t, pos, spec)
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape))), out
+
+        (loss_a, out_a), (gt_a, gp_a) = (
+            jax.value_and_grad(run, argnums=(0, 1), has_aux=True)(table, p)
+        )
+        monkeypatch.setattr(he, "_DENSE_MATMUL_BUDGET", 0)
+        (loss_b, out_b), (gt_b, gp_b) = (
+            jax.value_and_grad(run, argnums=(0, 1), has_aux=True)(table, p)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(gt_a), np.asarray(gt_b), rtol=1e-4, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(gp_a), np.asarray(gp_b), rtol=1e-4, atol=1e-6
+        )
+
+    def test_dense_matmul_chunked_matches(self, monkeypatch):
+        """N-chunked dense-matmul path (budget smaller than N*(R+1)^2)
+        equals the gather path, gradients included."""
+        import thermo_tpu.ops.hash_encoding as he
+
+        spec = HashGridSpec(
+            num_levels=2, base_res=4, max_res=8, log2_hashmap_size=10
+        )
+        assert not spec.use_hash.any()
+        table = init_hash_table(jax.random.PRNGKey(7), spec)
+        p = jax.random.uniform(jax.random.PRNGKey(8), (600, 3))
+
+        def run(t, pos):
+            out = hash_encode(t, pos, spec)
+            return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)).reshape(out.shape))
+
+        monkeypatch.setattr(he, "_DENSE_MATMUL_BUDGET", 25_000)
+        la, (gta, gpa) = jax.value_and_grad(run, argnums=(0, 1))(table, p)
+        monkeypatch.setattr(he, "_DENSE_MATMUL_BUDGET", 0)
+        lb, (gtb, gpb) = jax.value_and_grad(run, argnums=(0, 1))(table, p)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(gta), np.asarray(gtb), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(gpa), np.asarray(gpb), rtol=1e-4, atol=1e-6
+        )
+
     def test_continuity_across_cells(self):
         spec = HashGridSpec(num_levels=8, base_res=16, max_res=512, log2_hashmap_size=14)
         table = init_hash_table(jax.random.PRNGKey(4), spec)

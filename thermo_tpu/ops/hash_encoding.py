@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Sequence
 
 import numpy as np
@@ -34,6 +35,13 @@ import jax.numpy as jnp
 from jax import Array
 
 _PRIMES = (1, 2654435761, 805459861)
+
+# Dense-level matmul path: the largest allowed element count of the
+# [N, (R+1)^2] four-hot operand (transiently materialized in fwd and bwd).
+# 2^29 f32 elements = 2GB. 0 disables the path (pure gather everywhere).
+_DENSE_MATMUL_BUDGET = int(
+    os.environ.get("THERMO_TPU_DENSE_MATMUL_BUDGET", 1 << 29)
+)
 
 # 8 corner offsets of a unit cube, static.
 _CORNERS = np.array(
@@ -116,17 +124,20 @@ class _AxisGeometry:
     plus frac [L,3,N], use_hash [L,1(,1)] selector and the table-size mask.
     """
 
-    def __init__(self, spec: HashGridSpec, positions: Array):
+    def __init__(self, spec: HashGridSpec, positions: Array, lo: int = 0):
+        # ``lo``: first level covered (static) — all [L, ...] arrays here
+        # span levels [lo, num_levels) when a dense prefix is handled by
+        # the matmul path (_dense_encode) instead.
         p = positions.T  # [3, N]
-        scales = jnp.asarray(spec.scales, dtype=jnp.float32)  # [L]
+        scales = jnp.asarray(spec.scales[lo:], dtype=jnp.float32)  # [L]
         scaled = scales[:, None, None] * p[None, :, :] + 0.5  # [L, 3, N]
         floor = jnp.floor(scaled)
         self.frac = scaled - floor
         base = floor.astype(jnp.int32)  # [L, 3, N]
 
-        res = jnp.asarray(spec.resolutions, dtype=jnp.int32)[:, None]  # [L, 1]
+        res = jnp.asarray(spec.resolutions[lo:], dtype=jnp.int32)[:, None]
         strides = (jnp.ones_like(res), res, res * res)
-        self.use_hash = jnp.asarray(spec.use_hash)[:, None]  # [L, 1]
+        self.use_hash = jnp.asarray(spec.use_hash[lo:])[:, None]  # [L, 1]
         self.mask = jnp.int32(spec.table_size - 1)
 
         self.dense_c = []
@@ -180,10 +191,10 @@ class _AxisGeometry:
         return jnp.where(bit, fr, 1.0 - fr)
 
 
-def _hash_corners(spec: HashGridSpec, positions: Array):
+def _hash_corners(spec: HashGridSpec, positions: Array, lo: int = 0):
     """Exact forward geometry: positions [N, 3] -> (per-level corner table
-    indices [L,8,N] in [0,T), frac [L,3,N])."""
-    geo = _AxisGeometry(spec, positions)
+    indices [L,8,N] in [0,T), frac [L,3,N]) for levels [lo, num_levels)."""
+    geo = _AxisGeometry(spec, positions, lo)
     idx = jnp.stack(
         [geo.corner_index(cx, cy, cz) for cx, cy, cz in np.asarray(_CORNERS)],
         axis=1,
@@ -267,7 +278,21 @@ def hash_encode(
             "grad_levels requires grad_corners>0 (the exact path scatters "
             "per level by construction)"
         )
-        out = _hash_encode_vjp(table, p, spec, int(grad_corners), j)
+        # exact path: run the dense (collision-free) prefix levels as MXU
+        # einsum contractions — identical numerics, no per-corner
+        # gather/scatter traffic (see _dense_level_encode)
+        nd = (
+            _num_dense_matmul_levels(spec, p.shape[0])
+            if not grad_corners and not j
+            else 0
+        )
+        if nd:
+            parts = [_dense_encode(table, p, spec, nd)]
+            if nd < spec.num_levels:
+                parts.append(_hash_encode_vjp(table, p, spec, 0, 0, nd))
+            out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+        else:
+            out = _hash_encode_vjp(table, p, spec, int(grad_corners), j)
     return out.reshape(*batch_shape, spec.out_dim)
 
 
@@ -276,18 +301,133 @@ def _gather_feats(table: Array, flat_idx: Array, spec: HashGridSpec) -> Array:
     return jnp.take(table, flat_idx, axis=1)
 
 
-def _hash_forward(table: Array, positions: Array, spec: HashGridSpec):
-    """Returns (out [N, L*F], feats [F,L,8,N], idx [L,8,N], frac [L,3,N])."""
-    idx, frac = _hash_corners(spec, positions)  # [L,8,N], [L,3,N]
-    level_offset = (
-        jnp.arange(spec.num_levels, dtype=jnp.int32)[:, None, None] * spec.table_size
-    )
-    flat_idx = idx + level_offset
-    feats = _gather_feats(table, flat_idx, spec)  # [F, L, 8, N]
-    w = _corner_weights(frac)  # [L, 8, N]
-    out = jnp.sum(feats * w[None].astype(feats.dtype), axis=2)  # [F, L, N]
+def _num_dense_matmul_levels(spec: HashGridSpec, n: int) -> int:
+    """How many prefix levels to run through the dense matmul path.
+
+    A level qualifies when it is dense (collision-free — resolutions grow
+    monotonically, so dense levels are a prefix) and its [N, (R+1)^2]
+    four-hot operand fits the transient-memory budget."""
+    if _DENSE_MATMUL_BUDGET <= 0:
+        return 0
+    nd = 0
+    for lvl in range(spec.num_levels):
+        if spec.use_hash[lvl]:
+            break
+        rp = int(spec.resolutions[lvl]) + 1
+        if rp * rp * 256 > _DENSE_MATMUL_BUDGET:
+            break  # not even one 256-row chunk fits the budget
+        nd += 1
+    return nd
+
+
+def _dense_level_encode(
+    table: Array, positions: Array, spec: HashGridSpec, lvl: int
+) -> Array:
+    """Exact trilinear encode of ONE dense level as MXU contractions.
+
+    TPU-first replacement for per-corner gathers on the collision-free
+    coarse levels (the tcnn kernels the reference binds at
+    thermal_field.py:59 do per-corner random access — the right design on a
+    GPU, ~10ns/index on v5e where random HBM access is latency-bound,
+    PERFORMANCE.md). Dense trilinear interpolation is separable, so it is
+    computed as einsum chains instead:
+
+      out[n,f] = sum_{z,y,x} wz[n,z] * wy[n,y] * wx[n,x] * ext[f, z, y, x]
+
+    with per-axis TWO-HOT weight rows ((1-frac) at the floor cell, frac at
+    floor+1). Cost is bandwidth/MXU work independent of the table's access
+    pattern; the backward is the transposed einsums — the per-corner
+    scatter-adds of the gather path disappear entirely. ``jax.checkpoint``
+    wraps the level so the [N, (R+1)^2] four-hot operand is recomputed in
+    the backward instead of residualized across the scanned train steps.
+
+    Flat-index parity: the gather path indexes dense levels as
+    ``(x + R*y + R^2*z) & (T-1)`` WITHOUT per-axis clamping, so a floor+1
+    coordinate at the +x/+y/+z border reads the next row/plane (tcnn's own
+    border semantics). ``ext`` is built by gathering the level block through
+    exactly that index map for x,y,z in [0, R], reproducing the overflow
+    behavior bit-for-bit.
+    """
+    R = int(spec.resolutions[lvl])
+    rp = R + 1
     n = positions.shape[0]
-    return jnp.transpose(out, (2, 1, 0)).reshape(n, spec.out_dim), feats, idx, frac
+    max_rows = max(256, (_DENSE_MATMUL_BUDGET // (rp * rp)) // 256 * 256)
+    if n > max_rows:
+        # Chunk the N axis so the [chunk, rp^2] four-hot operand respects
+        # the budget even transiently; per-chunk remat keeps the scan's
+        # backward residuals at O(chunk inputs), not O(N * rp^2).
+        k = -(-n // max_rows)
+        pad = k * max_rows - n
+        p_pad = jnp.pad(positions, ((0, pad), (0, 0)))
+        body = jax.checkpoint(
+            lambda pos: _dense_level_encode(table, pos, spec, lvl)
+        )
+        out = jax.lax.map(body, p_pad.reshape(k, max_rows, 3))
+        return out.reshape(k * max_rows, -1)[:n]
+    T = spec.table_size
+    f32 = jnp.float32
+
+    scale = f32(float(spec.scales[lvl]))
+    scaled = positions.astype(f32) * scale + 0.5  # [N, 3]
+    floor = jnp.floor(scaled)
+    base = floor.astype(jnp.int32)  # [N, 3]
+    frac = scaled - floor  # [N, 3]
+
+    # ext[f, z*rp + y, x] = table[f, ((x + R*y + R^2*z) & (T-1)) + lvl*T]
+    ax = np.arange(rp, dtype=np.int64)
+    e = ax[None, None, :] + R * ax[None, :, None] + (R * R) * ax[:, None, None]
+    e = ((e & (T - 1)) + lvl * T).astype(np.int32).reshape(rp * rp, rp)
+    ext = jnp.take(table, jnp.asarray(e), axis=1).astype(f32)  # [F, rp^2, rp]
+
+    iota = jnp.arange(rp, dtype=jnp.int32)[None, :]  # [1, rp]
+
+    def twohot(axis: int) -> Array:
+        b = base[:, axis, None]
+        f = frac[:, axis, None]
+        return jnp.where(iota == b, 1.0 - f, 0.0) + jnp.where(
+            iota == b + 1, f, 0.0
+        )  # [N, rp]
+
+    wx, wy, wz = twohot(0), twohot(1), twohot(2)
+    wzy = (wz[:, :, None] * wy[:, None, :]).reshape(-1, rp * rp)  # [N, rp^2]
+    t = jnp.einsum(
+        "na,fax->nfx", wzy, ext, precision=jax.lax.Precision.HIGHEST
+    )
+    out = jnp.einsum(
+        "nx,nfx->nf", wx, t, precision=jax.lax.Precision.HIGHEST
+    )
+    return out.astype(table.dtype)  # [N, F]
+
+
+def _dense_encode(
+    table: Array, positions: Array, spec: HashGridSpec, nd: int
+) -> Array:
+    """Encode the dense prefix levels [0, nd) via the matmul path; [N, nd*F]."""
+    outs = [
+        jax.checkpoint(
+            functools.partial(_dense_level_encode, spec=spec, lvl=lvl)
+        )(table, positions)
+        for lvl in range(nd)
+    ]
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _hash_forward(
+    table: Array, positions: Array, spec: HashGridSpec, lo: int = 0
+):
+    """Returns (out [N, Lh*F], feats [F,Lh,8,N], idx [Lh,8,N], frac
+    [Lh,3,N]) for the Lh = num_levels - lo levels starting at ``lo``."""
+    idx, frac = _hash_corners(spec, positions, lo)  # [Lh,8,N], [Lh,3,N]
+    level_offset = (
+        lo + jnp.arange(spec.num_levels - lo, dtype=jnp.int32)[:, None, None]
+    ) * spec.table_size
+    flat_idx = idx + level_offset
+    feats = _gather_feats(table, flat_idx, spec)  # [F, Lh, 8, N]
+    w = _corner_weights(frac)  # [Lh, 8, N]
+    out = jnp.sum(feats * w[None].astype(feats.dtype), axis=2)  # [F, Lh, N]
+    n = positions.shape[0]
+    out_dim = (spec.num_levels - lo) * spec.features_per_level
+    return jnp.transpose(out, (2, 1, 0)).reshape(n, out_dim), feats, idx, frac
 
 
 def _derived_uniforms(idx0: Array, frac: Array, k: int, salt: int = 0x9E3779B9):
@@ -433,31 +573,32 @@ def _scatter_scalar_fused(
     return d.reshape(F, L * T).astype(dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _hash_encode_vjp(
     table: Array,
     positions: Array,
     spec: HashGridSpec,
     grad_corners: int = 0,
     grad_levels: int = 0,
+    lo: int = 0,
 ) -> Array:
-    return _hash_forward(table, positions, spec)[0]
+    return _hash_forward(table, positions, spec, lo)[0]
 
 
-def _hash_encode_vjp_fwd(table, positions, spec, grad_corners, grad_levels):
+def _hash_encode_vjp_fwd(table, positions, spec, grad_corners, grad_levels, lo):
     # Residuals are deliberately (table, positions), NOT the gathered corner
     # features: the train step runs under a lax.scan over steps_per_jit_loop
     # iterations, and scan AD stacks every residual across iterations —
     # saving feats ([F,L,8,N] f32, ~660MB across the three fields) residualizes
     # ~6.6GB at 10 steps/scan (measured HBM OOM on v5e). Recomputing the
     # corner geometry + one re-gather in bwd costs ~45ms/step instead.
-    return _hash_forward(table, positions, spec)[0], (table, positions)
+    return _hash_forward(table, positions, spec, lo)[0], (table, positions)
 
 
 def _hash_encode_vjp_bwd(
-    spec: HashGridSpec, grad_corners: int, grad_levels: int, res, g
+    spec: HashGridSpec, grad_corners: int, grad_levels: int, lo: int, res, g
 ):
-    """g: [N, L*F] cotangent.
+    """g: [N, Lh*F] cotangent for the levels [lo, num_levels).
 
     d_table: scalar scatters (feature dim folded into the index — ~5x
     cheaper than row scatters on v5e, see kernel_microbench). Exact mode
@@ -465,16 +606,19 @@ def _hash_encode_vjp_bwd(
     Categorical(w)-sampled corners with value g/k (unbiased, 8/k less
     traffic). d_positions: exact via the residual features.
     """
+    assert lo == 0 or (grad_corners == 0 and grad_levels == 0), (
+        "a dense matmul prefix (lo>0) only composes with the exact path"
+    )
     table, positions = res
     table_dtype, pos_dtype = table.dtype, positions.dtype
-    L, T, F = spec.num_levels, spec.table_size, spec.features_per_level
+    L, T, F = spec.num_levels - lo, spec.table_size, spec.features_per_level
     n = g.shape[0]
-    geo = _AxisGeometry(spec, positions)
+    geo = _AxisGeometry(spec, positions, lo)
 
     # cotangent to channels-first [F, L, N]
     g_cf = jnp.transpose(g.reshape(n, L, F), (2, 1, 0)).astype(jnp.float32)
-    level_offset = jnp.arange(L, dtype=jnp.int32)[:, None, None] * T
-    scales = jnp.asarray(spec.scales, dtype=jnp.float32)[:, None]  # [L, 1]
+    level_offset = (lo + jnp.arange(L, dtype=jnp.int32)[:, None, None]) * T
+    scales = jnp.asarray(spec.scales[lo:], dtype=jnp.float32)[:, None]  # [L, 1]
 
     if grad_corners:
         k = int(grad_corners)
@@ -521,8 +665,10 @@ def _hash_encode_vjp_bwd(
     w = _corner_weights(geo.frac)  # [L, 8, N]
 
     # d_table: one scalar scatter per level (feature dim folded into the
-    # index, feature-major to match the [F, L*T] layout)
-    d_levels = []
+    # index, feature-major to match the [F, L*T] layout); a dense matmul
+    # prefix (lo>0) contributes via _dense_encode's own AD, so its blocks
+    # here are zero.
+    d_levels = [jnp.zeros((F, T), jnp.float32)] * lo
     feature_off = (jnp.arange(F, dtype=jnp.int32) * T)[:, None, None]  # [F,1,1]
     for l in range(L):
         idx_l = idx[l]  # [8, N]
@@ -532,7 +678,11 @@ def _hash_encode_vjp_bwd(
             scalar_idx.reshape(-1)
         ].add(vals.reshape(-1))
         d_levels.append(d_flat.reshape(F, T))
-    d_table = jnp.stack(d_levels, axis=1).reshape(F, L * T).astype(table_dtype)
+    d_table = (
+        jnp.stack(d_levels, axis=1)
+        .reshape(F, spec.num_levels * T)
+        .astype(table_dtype)
+    )
 
     # d_positions: exact, needs one re-gather of the corner feats.
     feats = _gather_feats(table, idx + level_offset, spec).astype(jnp.float32)

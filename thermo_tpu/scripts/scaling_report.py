@@ -111,11 +111,22 @@ def main(p: ScalingParameters) -> None:
         base = results[0]["rays_per_sec"]
         eff = rps / (base * c)
         results[-1]["efficiency_vs_1dev"] = eff
+        results[-1]["throughput_vs_1dev"] = rps / base
         print(
             f"devices={c}: {rps:,.0f} rays/s  efficiency={eff:.2%}", flush=True
         )
 
-    report = {"platform": jax.devices()[0].platform, "results": results}
+    platform = jax.devices()[0].platform
+    report = {"platform": platform, "results": results}
+    if platform == "cpu":
+        report["note"] = (
+            "virtual CPU devices share one physical host: every mesh size "
+            "runs on the same cores, so linear weak scaling is physically "
+            "impossible and efficiency_vs_1dev is NOT meaningful here. This "
+            "run validates the sharding/collective MECHANISM; the ceiling "
+            "is flat total throughput (throughput_vs_1dev ~= 1.0). Real "
+            "scaling numbers require a multi-chip slice."
+        )
     print(json.dumps(report))
     if p.output:
         with open(p.output, "w") as f:

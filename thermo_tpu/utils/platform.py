@@ -17,3 +17,18 @@ def apply_env_platform() -> None:
         import jax
 
         jax.config.update("jax_platforms", platforms)
+    enable_persistent_compile_cache()
+
+
+def enable_persistent_compile_cache() -> None:
+    """Cache compiled executables across processes (full-scale train-step
+    compiles take minutes through the remote-compile tunnel; repeated CLI
+    invocations at identical shapes then load in seconds)."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/thermo_tpu_jax_cache"
+    )
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

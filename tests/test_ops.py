@@ -197,9 +197,10 @@ class TestHashEncoding:
             np.asarray(gp_a), np.asarray(gp_b), rtol=1e-4, atol=1e-6
         )
 
-    def test_dense_matmul_chunked_matches(self, monkeypatch):
-        """N-chunked dense-matmul path (budget smaller than N*(R+1)^2)
-        equals the gather path, gradients included."""
+    def test_dense_matmul_budget_seam_matches(self, monkeypatch):
+        """When the budget excludes only the LARGER dense level, the mixed
+        split (dense-matmul prefix + gather remainder at lo>0) equals the
+        pure gather path, gradients included."""
         import thermo_tpu.ops.hash_encoding as he
 
         spec = HashGridSpec(

@@ -314,8 +314,11 @@ def _num_dense_matmul_levels(spec: HashGridSpec, n: int) -> int:
         if spec.use_hash[lvl]:
             break
         rp = int(spec.resolutions[lvl]) + 1
-        if rp * rp * 256 > _DENSE_MATMUL_BUDGET:
-            break  # not even one 256-row chunk fits the budget
+        if rp * rp * n > _DENSE_MATMUL_BUDGET:
+            # over-budget levels stay on the gather path — chunking the N
+            # axis under lax.map + per-chunk remat was measured SLOWER than
+            # gathers on v5e (sequential chunks + recompute; PERFORMANCE.md)
+            break
         nd += 1
     return nd
 
@@ -350,20 +353,6 @@ def _dense_level_encode(
     """
     R = int(spec.resolutions[lvl])
     rp = R + 1
-    n = positions.shape[0]
-    max_rows = max(256, (_DENSE_MATMUL_BUDGET // (rp * rp)) // 256 * 256)
-    if n > max_rows:
-        # Chunk the N axis so the [chunk, rp^2] four-hot operand respects
-        # the budget even transiently; per-chunk remat keeps the scan's
-        # backward residuals at O(chunk inputs), not O(N * rp^2).
-        k = -(-n // max_rows)
-        pad = k * max_rows - n
-        p_pad = jnp.pad(positions, ((0, pad), (0, 0)))
-        body = jax.checkpoint(
-            lambda pos: _dense_level_encode(table, pos, spec, lvl)
-        )
-        out = jax.lax.map(body, p_pad.reshape(k, max_rows, 3))
-        return out.reshape(k * max_rows, -1)[:n]
     T = spec.table_size
     f32 = jnp.float32
 

@@ -18,6 +18,26 @@ def apply_env_platform() -> None:
 
         jax.config.update("jax_platforms", platforms)
     enable_persistent_compile_cache()
+    maybe_initialize_distributed()
+
+
+def maybe_initialize_distributed() -> None:
+    """Multi-host init from the environment, honored by every CLI entry
+    point: set THERMO_TPU_COORDINATOR (host:port), THERMO_TPU_NUM_PROCESSES
+    and THERMO_TPU_PROCESS_ID on each host to launch a jax.distributed
+    training job (the TPU-native replacement for nerfstudio's MachineConfig
+    dist_url/num_machines/machine_rank block; SURVEY §2c). On Cloud TPU
+    pods, leave unset — JAX auto-initializes from the TPU metadata."""
+    addr = os.environ.get("THERMO_TPU_COORDINATOR")
+    nproc = os.environ.get("THERMO_TPU_NUM_PROCESSES")
+    if addr and nproc and int(nproc) > 1:
+        from thermo_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(os.environ.get("THERMO_TPU_PROCESS_ID", "0")),
+        )
 
 
 def enable_persistent_compile_cache() -> None:

@@ -136,12 +136,15 @@ def thermal_nerf_tpu_config() -> TrainerConfig:
         levels, uniformly drawn, scaled x2 (unbiased, halves scatter
         traffic again).
 
-    Measured 69.6 ms/step = 58.8K rays/s on v5e at 4096 rays (2.9x the exact
-    bf16 step). Quality deltas vs the exact preset are tracked by
-    scripts/quality_ablation.py (outputs/qa_r2: psnr_thermal -0.9 dB vs the
-    round-1 preset at a fixed 2000-iteration budget on the synthetic scene —
-    at fixed WALL-CLOCK the 2.5x step rate more than compensates); eval
-    rendering is exact everywhere."""
+    Measured 106.3K rays/s on v5e at 4096 rays (23x the exact step). THIS IS
+    THE THROUGHPUT PRESET, and the trade is real: the round-3 iso-WALL-CLOCK
+    ablation (outputs/qa_r3/ablation.json, 420s/variant on the synthetic
+    scene) measured thermal PSNR 17.04 / MAE 0.094 for these knobs at 8,570
+    steps vs 17.32 / 0.083 for ``thermal-nerf`` (exact) at 350 steps — the
+    step-rate advantage does NOT recover the estimator bias on that budget.
+    For the best measured quality-per-wall-clock use ``thermal-nerf-fast``
+    (iso-time winner: 18.16 / 0.076); for reference parity use
+    ``thermal-nerf``. Eval rendering is exact everywhere."""
     import dataclasses
 
     cfg = thermal_nerf_config()
@@ -160,10 +163,30 @@ def thermal_nerf_tpu_config() -> TrainerConfig:
     return cfg
 
 
+def thermal_nerf_fast_config() -> TrainerConfig:
+    """Best measured quality-per-wall-clock preset (round-3 iso-wall-clock
+    ablation, outputs/qa_r3/ablation.json): the full 16x2^19 grid and exact
+    hash proposals of ``thermal-nerf`` with ONLY the stochastic-trilinear
+    final-field forward (``hash_fwd_corners=1``) enabled. At a fixed 420s
+    v5e budget it beat the exact preset on every thermal metric
+    (psnr_thermal 18.16 vs 17.32, mae_thermal 0.076 vs 0.083) — the one
+    estimator whose variance is cheaper than its step-rate gain. The more
+    aggressive ``thermal-nerf-tpu`` knobs (CP proposals + 4x8 grid +
+    grad-level subsampling) are 12x faster still but did NOT win at
+    iso-wall-clock; they remain the throughput preset."""
+    import dataclasses
+
+    cfg = thermal_nerf_config()
+    cfg.method_name = "thermal-nerf-fast"
+    cfg.model = dataclasses.replace(cfg.model, hash_fwd_corners=1)
+    return cfg
+
+
 METHOD_CONFIGS = {
     "thermal-nerf": thermal_nerf_config,
     "nerfacto-track": thermalnerfacto_config,
     "concat_nerf": concat_nerf_config,
     "thermal-nerf-tiny": thermal_nerf_tiny_config,
     "thermal-nerf-tpu": thermal_nerf_tpu_config,
+    "thermal-nerf-fast": thermal_nerf_fast_config,
 }

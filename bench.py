@@ -60,12 +60,18 @@ def main() -> None:
 
     jax = _init_jax()
 
-    methods = [args.method] if args.method else ["thermal-nerf", "thermal-nerf-tpu"]
-    for method in methods:
-        _bench_method(jax, method, args)
+    if args.method:
+        _bench_method(jax, args.method, args)
+        return
+    # flagship first (its line must never be lost to a driver timeout),
+    # exact second, then the flagship line re-printed LAST — the driver
+    # parses the final JSON line as the headline
+    flagship_line = _bench_method(jax, "thermal-nerf-tpu", args)
+    _bench_method(jax, "thermal-nerf", args)
+    print(flagship_line, flush=True)
 
 
-def _bench_method(jax, method: str, args) -> None:
+def _bench_method(jax, method: str, args) -> str:
     import jax.numpy as jnp
 
     from thermo_tpu.configs.methods import METHOD_CONFIGS
@@ -135,17 +141,16 @@ def _bench_method(jax, method: str, args) -> None:
 
     steps = n_calls * cfg.steps_per_jit_loop
     rays_per_sec = cfg.train_num_rays_per_batch * steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
-                "unit": f"rays/s (fwd+bwd+opt, {cfg.method_name} full config)",
-                "vs_baseline": round(rays_per_sec / PYTORCH_BASELINE_RAYS_PER_SEC, 4),
-            }
-        ),
-        flush=True,
+    line = json.dumps(
+        {
+            "metric": "train_rays_per_sec_per_chip",
+            "value": round(rays_per_sec, 1),
+            "unit": f"rays/s (fwd+bwd+opt, {cfg.method_name} full config)",
+            "vs_baseline": round(rays_per_sec / PYTORCH_BASELINE_RAYS_PER_SEC, 4),
+        }
     )
+    print(line, flush=True)
+    return line
 
 
 if __name__ == "__main__":

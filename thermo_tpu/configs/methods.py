@@ -170,10 +170,11 @@ def thermal_nerf_fast_config() -> TrainerConfig:
     final-field forward (``hash_fwd_corners=1``) enabled. At a fixed 420s
     v5e budget it beat the exact preset on every thermal metric
     (psnr_thermal 18.16 vs 17.32, mae_thermal 0.076 vs 0.083) — the one
-    estimator whose variance is cheaper than its step-rate gain. The more
-    aggressive ``thermal-nerf-tpu`` knobs (CP proposals + 4x8 grid +
-    grad-level subsampling) are 12x faster still but did NOT win at
-    iso-wall-clock; they remain the throughput preset."""
+    estimator whose variance is cheaper than its step-rate gain. Measured
+    7,684 rays/s post-warmup on v5e (1.7x exact). The more aggressive
+    ``thermal-nerf-tpu`` knobs (CP proposals + 4x8 grid + grad-level
+    subsampling) are 14x faster still but did NOT win at iso-wall-clock;
+    they remain the throughput preset."""
     import dataclasses
 
     cfg = thermal_nerf_config()

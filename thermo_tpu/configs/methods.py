@@ -166,20 +166,26 @@ def thermal_nerf_tpu_config() -> TrainerConfig:
 def thermal_nerf_fast_config() -> TrainerConfig:
     """Best measured quality-per-wall-clock preset (round-3 iso-wall-clock
     ablation, outputs/qa_r3/ablation.json): the full 16x2^19 grid and exact
-    hash proposals of ``thermal-nerf`` with ONLY the stochastic-trilinear
-    final-field forward (``hash_fwd_corners=1``) enabled. At a fixed 420s
-    v5e budget it beat the exact preset on every thermal metric
-    (psnr_thermal 18.16 vs 17.32, mae_thermal 0.076 vs 0.083) — the one
-    estimator whose variance is cheaper than its step-rate gain. Measured
-    7,684 rays/s post-warmup on v5e (1.7x exact). The more aggressive
-    ``thermal-nerf-tpu`` knobs (CP proposals + 4x8 grid + grad-level
-    subsampling) are 14x faster still but did NOT win at iso-wall-clock;
-    they remain the throughput preset."""
+    hash proposals of ``thermal-nerf`` with the stochastic-trilinear
+    final-field forward plus corner/level-subsampled table gradients
+    (``hash_fwd_corners=1, hash_grad_corners=1, hash_grad_levels=2``). At a
+    fixed 420s v5e budget this knob set beat every other variant on every
+    thermal metric — psnr_thermal 18.93 / mae_thermal 0.065 vs 18.16/0.076
+    for the forward-only knob and 17.32/0.083 for exact — while its
+    backward table traffic is 8x lighter than forward-only. The aggressive
+    ``thermal-nerf-tpu`` knobs (CP proposals + 4x8 grid) are an order of
+    magnitude faster still but did NOT win at iso-wall-clock; they remain
+    the throughput preset."""
     import dataclasses
 
     cfg = thermal_nerf_config()
     cfg.method_name = "thermal-nerf-fast"
-    cfg.model = dataclasses.replace(cfg.model, hash_fwd_corners=1)
+    cfg.model = dataclasses.replace(
+        cfg.model,
+        hash_fwd_corners=1,
+        hash_grad_corners=1,
+        hash_grad_levels=2,
+    )
     return cfg
 
 

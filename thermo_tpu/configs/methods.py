@@ -190,6 +190,26 @@ def thermal_nerf_fast_config() -> TrainerConfig:
     return cfg
 
 
+def thermal_nerf_cp_config() -> TrainerConfig:
+    """Ablation probe between ``thermal-nerf-fast`` and ``thermal-nerf-tpu``:
+    the FULL 16x2^19 final grid with the fast preset's ff1gl2 estimator
+    knobs, but CP-factorized matmul proposal fields instead of hash grids —
+    isolates whether the tpu preset's quality ceiling comes from its CP
+    proposals or its shrunken 4x8 final grid (outputs/qa_r3)."""
+    import dataclasses
+
+    cfg = thermal_nerf_fast_config()
+    cfg.method_name = "thermal-nerf-cp"
+    cfg.model = dataclasses.replace(
+        cfg.model,
+        proposal_net_args_list=(
+            ProposalNetArgs(kind="cp", max_res=128, rank=32),
+            ProposalNetArgs(kind="cp", max_res=256, rank=32),
+        ),
+    )
+    return cfg
+
+
 METHOD_CONFIGS = {
     "thermal-nerf": thermal_nerf_config,
     "nerfacto-track": thermalnerfacto_config,
@@ -197,4 +217,5 @@ METHOD_CONFIGS = {
     "thermal-nerf-tiny": thermal_nerf_tiny_config,
     "thermal-nerf-tpu": thermal_nerf_tpu_config,
     "thermal-nerf-fast": thermal_nerf_fast_config,
+    "thermal-nerf-cp": thermal_nerf_cp_config,
 }

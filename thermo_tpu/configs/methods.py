@@ -210,6 +210,33 @@ def thermal_nerf_cp_config() -> TrainerConfig:
     return cfg
 
 
+def thermal_nerf_mid_config() -> TrainerConfig:
+    """Middle preset probe: the throughput preset's 4x8 final grid and
+    ff1gl2-class estimator knobs, but STOCHASTIC-forward HASH proposal
+    fields (proposal_fwd_corners=2) instead of CP matmuls — the round-3
+    ablations isolated the CP factorization as the quality ceiling
+    (outputs/qa_r3: cpfull/cpr128 vs ff1gl2), while stochastic hash
+    proposals cost only ~+100ms-class traffic, not the exact-trilinear
+    +445ms (step_attrib prop_hash_stoch2). Measured iso-420s: 17.61 dB
+    thermal / 0.096 MAE at 1,760 steps — the best quality-per-STEP of any
+    matmul-era variant but not iso-time-competitive with
+    ``thermal-nerf-fast`` (18.93); kept as the documented middle point of
+    the speed/quality Pareto."""
+    import dataclasses
+
+    cfg = thermal_nerf_tpu_config()
+    cfg.method_name = "thermal-nerf-mid"
+    cfg.model = dataclasses.replace(
+        cfg.model,
+        proposal_fwd_corners=2,
+        proposal_net_args_list=(
+            ProposalNetArgs(max_res=128),
+            ProposalNetArgs(max_res=256),
+        ),
+    )
+    return cfg
+
+
 METHOD_CONFIGS = {
     "thermal-nerf": thermal_nerf_config,
     "nerfacto-track": thermalnerfacto_config,
@@ -218,4 +245,5 @@ METHOD_CONFIGS = {
     "thermal-nerf-tpu": thermal_nerf_tpu_config,
     "thermal-nerf-fast": thermal_nerf_fast_config,
     "thermal-nerf-cp": thermal_nerf_cp_config,
+    "thermal-nerf-mid": thermal_nerf_mid_config,
 }

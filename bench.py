@@ -3,11 +3,14 @@ of the flagship thermal-nerf config (full nerfacto scale: 16x2^19 hash grid,
 2 proposal nets at 256/96 samples, 48 final samples, RGB+thermal heads,
 4096 rays/batch, bf16 compute) on one chip.
 
-With no arguments, benchmarks BOTH shipped methods and prints one JSON line
-per method — the exact reference-parity ``thermal-nerf`` first, then the
-flagship ``thermal-nerf-tpu`` LAST (the driver parses the final line as the
-headline {"metric", "value", "unit", "vs_baseline"}). ``--method`` restricts
-to a single method.
+With no arguments, benchmarks BOTH shipped methods and prints THREE JSON
+lines: the flagship ``thermal-nerf-tpu`` first (so its line survives even if
+the driver times the run out), then the exact reference-parity
+``thermal-nerf``, then the flagship line RE-PRINTED verbatim as a guard —
+the driver parses only the FINAL line as the headline {"metric", "value",
+"unit", "vs_baseline"}; consumers aggregating all lines must dedupe the
+repeated flagship line. ``--method`` restricts to a single method (one
+line, no reprint).
 
 Baseline: the reference (nerfstudio/tcnn ThermoNeRF) publishes no throughput
 numbers. ``vs_baseline`` divides by a documented, source-cited estimate of

@@ -8,8 +8,18 @@ batch, with the gradient all-reduce inserted by XLA across the process
 boundary. Asserts the result matches a host-side numpy oracle computed on
 the FULL batch, i.e. the cross-process collective really ran.
 
-Usage: python tests/_multihost_worker.py <coordinator_port> <process_id>
+Usage: python tests/_multihost_worker.py <coordinator_port> <process_id> [mode]
 (parent sets JAX_PLATFORMS=cpu and --xla_force_host_platform_device_count=2).
+
+``mode``:
+  * "toy" (default) — one data-parallel SGD step on a toy regression,
+    asserted against a host-side numpy oracle.
+  * "trainer" — the REAL image-stack Trainer on the host-disjoint data path
+    (round-4 verdict item 10): each process holds HALF the image stack
+    (``data_shards=2, local_shard=pid``), samples its own pixel batches
+    host-side, and the global batch is assembled across processes; prints
+    the per-loop loss trajectory for the parent to compare against the
+    single-process oracle.
 """
 
 from __future__ import annotations
@@ -17,14 +27,87 @@ from __future__ import annotations
 import sys
 
 
+def tiny_setup(num_rays: int = 64):
+    """Deterministic tiny trainer inputs, identical in every process (and in
+    the parent test's single-process oracle)."""
+    import dataclasses
+
+    import numpy as np
+
+    from thermo_tpu.configs.methods import thermal_nerf_tiny_config
+    from thermo_tpu.data.cameras import Cameras
+    from thermo_tpu.models.thermal_nerf import ProposalNetArgs
+
+    cfg = thermal_nerf_tiny_config()
+    cfg.train_num_rays_per_batch = num_rays
+    cfg.steps_per_jit_loop = 2
+    cfg.model = dataclasses.replace(
+        cfg.model,
+        num_levels=2, max_res=32, log2_hashmap_size=8,
+        num_proposal_samples_per_ray=(8, 6), num_nerf_samples_per_ray=4,
+        proposal_net_args_list=(
+            ProposalNetArgs(num_levels=2, max_res=16, log2_hashmap_size=7, hidden_dim=8),
+        ) * 2,
+        far_plane=6.0,
+    )
+    n, size = 4, 16
+    c2w = np.tile(np.eye(4)[:3], (n, 1, 1)).astype(np.float32)
+    c2w[:, 2, 3] = 2.0
+    cameras = Cameras.from_numpy(
+        fx=np.full(n, 20.0), fy=np.full(n, 20.0),
+        cx=np.full(n, 8.0), cy=np.full(n, 8.0),
+        width=np.full(n, size), height=np.full(n, size), c2w=c2w,
+    )
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (n, size, size, 3), dtype=np.uint8)
+    thermal = rng.integers(0, 255, (n, size, size, 1), dtype=np.uint8)
+    return cfg, cameras, images, thermal
+
+
+def _trainer_mode(pid: int) -> None:
+    import jax
+    import numpy as np
+
+    from thermo_tpu.engine.trainer import Trainer
+    from thermo_tpu.models.thermal_nerf import ThermoNerfModel
+    from thermo_tpu.parallel.mesh import data_mesh
+
+    assert jax.process_count() == 2 and jax.device_count() == 4
+    mesh = data_mesh()
+
+    cfg, cameras, images, thermal = tiny_setup(num_rays=64)
+    # this process holds only its HALF of the image stack (2 of 4 images)
+    lo = pid * 2
+    model = ThermoNerfModel(cfg.model, ((-1.0,) * 3, (1.0,) * 3), 4)
+    trainer = Trainer(
+        cfg, model, cameras, images[lo : lo + 2], thermal[lo : lo + 2],
+        mesh=mesh, data_shards=2, local_shard=pid,
+    )
+    losses = []
+    state = trainer.state
+    for _ in range(3):
+        state, metrics = trainer.train_steps(
+            state, trainer.images, trainer.thermal, trainer.cameras
+        )
+        losses.append(float(metrics["total_loss"]))
+    assert all(np.isfinite(losses)), losses
+    print(f"LOSSES process={pid} " + ",".join(f"{l!r}" for l in losses), flush=True)
+    print(f"OK process={pid}", flush=True)
+
+
 def main() -> None:
     port, pid = sys.argv[1], int(sys.argv[2])
+    mode = sys.argv[3] if len(sys.argv) > 3 else "toy"
 
     from thermo_tpu.parallel.mesh import data_mesh, initialize_distributed
 
     initialize_distributed(
         coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
     )
+
+    if mode == "trainer":
+        _trainer_mode(pid)
+        return
 
     import jax
     import jax.numpy as jnp

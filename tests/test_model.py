@@ -171,6 +171,46 @@ class TestGradients:
         for k in ("rgb_loss", "interlevel_loss", "distortion_loss", "thermal", "psnr"):
             assert k in metrics, k
 
+    def _loss_metrics(self, mode):
+        m = _model(mode=mode)
+        params = m.init_params(jax.random.PRNGKey(0))
+        out = m.forward(params, _rays(), jax.random.PRNGKey(1), train=True)
+        gt = jnp.zeros((16, 4 if mode == "concat" else 3))
+        return m.losses(params, out, gt, jnp.zeros((16, 1)), rng=jax.random.PRNGKey(2))
+
+    def test_camera_opt_loss_per_mode(self):
+        """Reference semantics: ThermalNerfModel's get_loss_dict override
+        omits the camera-opt regularizer (thermal_nerf_model.py:277-326);
+        ConcatNerfModel adds it (concat_nerfacto_model.py:232); rgb mode
+        (ThermalNerfactoModel) inherits NerfactoModel's get_loss_dict, which
+        also adds it (nerfstudio 1.1.5)."""
+        _, thermal = self._loss_metrics("thermal")
+        _, rgb = self._loss_metrics("rgb")
+        _, concat = self._loss_metrics("concat")
+        assert "camera_opt_regularizer" not in thermal
+        assert "camera_opt_regularizer" in rgb
+        assert "camera_opt_regularizer" in concat
+
+    def test_camera_opt_metrics_all_modes(self):
+        """get_metrics_dict is inherited from NerfactoModel in every mode
+        (it calls camera_optimizer.get_metrics_dict), so translation/rotation
+        magnitudes are logged for thermal too."""
+        for mode in ("thermal", "rgb", "concat"):
+            _, metrics = self._loss_metrics(mode)
+            assert "camera_opt_translation" in metrics, mode
+            assert "camera_opt_rotation" in metrics, mode
+            assert np.isfinite(float(metrics["camera_opt_translation"]))
+
+    def test_camera_opt_off_no_entries(self):
+        m = _model(mode="rgb", camera_optimizer_mode="off")
+        params = m.init_params(jax.random.PRNGKey(0))
+        out = m.forward(params, _rays(), jax.random.PRNGKey(1), train=True)
+        _, metrics = m.losses(
+            params, out, jnp.zeros((16, 3)), None, rng=jax.random.PRNGKey(2)
+        )
+        assert "camera_opt_regularizer" not in metrics
+        assert "camera_opt_translation" not in metrics
+
 
 class TestOptionalBranches:
     def test_predict_normals_outputs_and_losses(self):

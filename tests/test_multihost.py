@@ -27,7 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_grad_step():
+def _run_workers(mode: str) -> list[str]:
     port = _free_port()
     env = dict(os.environ)
     env.update(
@@ -37,7 +37,7 @@ def test_two_process_distributed_grad_step():
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), str(port), str(pid)],
+            [sys.executable, str(WORKER), str(port), str(pid), mode],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -48,7 +48,7 @@ def test_two_process_distributed_grad_step():
     outs = []
     for pid, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -57,3 +57,58 @@ def test_two_process_distributed_grad_step():
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
     for pid, out in enumerate(outs):
         assert f"OK process={pid}" in out, out
+    return outs
+
+
+def test_two_process_distributed_grad_step():
+    _run_workers("toy")
+
+
+def test_two_process_trainer_matches_single_process():
+    """Round-4 verdict item 10: the REAL image-stack trainer on the
+    host-disjoint data path. Each worker process holds half the images
+    (data_shards=2, local_shard=pid) and samples its own pixel batches
+    host-side; the per-(step, shard) seeding makes the assembled global
+    batch identical to the single-process oracle run below, so the loss
+    trajectories must match to float tolerance."""
+    import re
+
+    import numpy as np
+
+    outs = _run_workers("trainer")
+    dist_losses = None
+    for out in outs:
+        m = re.search(r"LOSSES process=\d ([^\n]+)", out)
+        assert m, out
+        losses = [float(x) for x in m.group(1).split(",")]
+        if dist_losses is None:
+            dist_losses = losses
+        else:
+            # both processes see the same (all-reduced) global metrics
+            np.testing.assert_allclose(losses, dist_losses, rtol=1e-5)
+
+    # single-process oracle: same shard partitioning, all shards local
+    import sys as _sys
+
+    sys_path_added = str(Path(__file__).parent)
+    if sys_path_added not in _sys.path:
+        _sys.path.insert(0, sys_path_added)
+    from _multihost_worker import tiny_setup
+
+    from thermo_tpu.engine.trainer import Trainer
+    from thermo_tpu.models.thermal_nerf import ThermoNerfModel
+
+    cfg, cameras, images, thermal = tiny_setup(num_rays=64)
+    model = ThermoNerfModel(cfg.model, ((-1.0,) * 3, (1.0,) * 3), 4)
+    trainer = Trainer(
+        cfg, model, cameras, images, thermal,
+        mesh=None, data_shards=2, local_shard=None,
+    )
+    oracle = []
+    state = trainer.state
+    for _ in range(3):
+        state, metrics = trainer.train_steps(
+            state, trainer.images, trainer.thermal, trainer.cameras
+        )
+        oracle.append(float(metrics["total_loss"]))
+    np.testing.assert_allclose(dist_losses, oracle, rtol=1e-4)

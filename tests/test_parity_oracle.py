@@ -1,0 +1,529 @@
+"""Torch-functional parity oracles for the core numerics.
+
+The reference's compute substrate (tcnn hash grids, nerfstudio samplers and
+losses, pytorch3d-style exp maps) cannot run in this environment, so parity
+is checked against INDEPENDENT torch implementations written directly from
+the published specs (Instant-NGP hash rule, MipNeRF PDF resampling,
+mipnerf-360 interlevel/distortion, pytorch3d SO3/SE3 exponentials) — the
+same pattern used for the LPIPS/SSIM torch oracles (tests/test_lpips.py).
+This is the closest this environment gets to the BASELINE.json "allclose vs
+the reference oracle" mandate (round-3 verdict item 3).
+
+Tolerances document exactly where numerics diverge:
+  * everything here runs f32 on CPU; the JAX side accumulates some
+    reductions in different orders (and the dense-level einsum path at
+    Precision.HIGHEST), so grads compare at rtol 1e-4 instead of exact;
+  * the production train step runs bf16 compute — that divergence is
+    quality-ablated (outputs/qa_r*), not oracle-checked.
+
+Reference bindings oracled here:
+  * hash encoding  — tcnn HashGrid, bound at thermal_field.py:59
+  * PDF resampling — nerfstudio PDFSampler / ProposalNetworkSampler,
+                     bound at thermal_nerf_model.py:152-179
+  * interlevel/distortion — nerfstudio losses, thermal_nerf_model.py:297-317
+  * exp maps       — nerfstudio camera_optimizers SO3xR3/SE3,
+                     thermal_nerfacto.py:24-25
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from thermo_tpu.ops.hash_encoding import HashGridSpec, hash_encode, init_hash_table
+
+_PRIMES = (1, 2654435761, 805459861)
+_MASK32 = (1 << 32) - 1
+
+
+# ----------------------------------------------------------------------
+# torch oracles (written from the published specs)
+# ----------------------------------------------------------------------
+def torch_hash_encode(table, positions, spec: HashGridSpec):
+    """Instant-NGP multires hash encoding (Mueller et al. 2022, sec. 3 +
+    tcnn grid.h semantics): geometric level scales, per-level dense indexing
+    while the grid fits the table else spatial-hash xor of coordinate*prime,
+    trilinear 8-corner blend. ``table``: [F, L*T] torch tensor."""
+    T = spec.table_size
+    outs = []
+    for lvl in range(spec.num_levels):
+        scale = float(spec.scales[lvl])
+        res = int(spec.resolutions[lvl])
+        scaled = positions * scale + 0.5
+        floor = torch.floor(scaled)
+        frac = scaled - floor
+        base = floor.detach().long()  # [N, 3]
+        feats = 0.0
+        for cx in (0, 1):
+            for cy in (0, 1):
+                for cz in (0, 1):
+                    ix, iy, iz = base[:, 0] + cx, base[:, 1] + cy, base[:, 2] + cz
+                    if spec.use_hash[lvl]:
+                        idx = (
+                            ((ix * _PRIMES[0]) & _MASK32)
+                            ^ ((iy * _PRIMES[1]) & _MASK32)
+                            ^ ((iz * _PRIMES[2]) & _MASK32)
+                        )
+                    else:
+                        idx = ix + res * iy + res * res * iz
+                    idx = (idx & (T - 1)) + lvl * T
+                    w = (
+                        (frac[:, 0] if cx else 1 - frac[:, 0])
+                        * (frac[:, 1] if cy else 1 - frac[:, 1])
+                        * (frac[:, 2] if cz else 1 - frac[:, 2])
+                    )
+                    feats = feats + w[:, None] * table[:, idx].T  # [N, F]
+        outs.append(feats)
+    return torch.cat(outs, dim=-1)
+
+
+def torch_sample_pdf_eval(sbins, weights, num_samples, histogram_padding=0.01):
+    """MipNeRF-style PDF resampling, eval mode (centered u, no jitter), as
+    configured by nerfstudio's PDFSampler (include_original=False).
+    ``sbins``: [R, S+1] existing spacing-domain bin edges; ``weights``:
+    [R, S]. Returns new sbins [R, num_samples+1]."""
+    eps = 1e-5
+    num_bins = num_samples + 1
+    w = weights + histogram_padding
+    w_sum = torch.sum(w, dim=-1, keepdim=True)
+    padding = torch.relu(eps - w_sum)
+    w = w + padding / w.shape[-1]
+    w_sum = w_sum + padding
+    pdf = w / w_sum
+    cdf = torch.clamp(torch.cumsum(pdf[..., :-1], dim=-1), max=1.0)
+    cdf = torch.cat(
+        [torch.zeros_like(cdf[..., :1]), cdf, torch.ones_like(cdf[..., :1])],
+        dim=-1,
+    )
+    u = torch.linspace(0.0, 1.0 - 1.0 / num_bins, num_bins, dtype=cdf.dtype)
+    u = u.expand(*cdf.shape[:-1], num_bins) + 0.5 / num_bins
+
+    inds = torch.searchsorted(cdf.contiguous(), u.contiguous(), right=True)
+    below = torch.clamp(inds - 1, 0, cdf.shape[-1] - 1)
+    above = torch.clamp(inds, 0, cdf.shape[-1] - 1)
+    cdf_g0 = torch.gather(cdf, -1, below)
+    cdf_g1 = torch.gather(cdf, -1, above)
+    bins_g0 = torch.gather(sbins, -1, below)
+    bins_g1 = torch.gather(sbins, -1, above)
+    t = torch.clamp(torch.nan_to_num((u - cdf_g0) / (cdf_g1 - cdf_g0)), 0.0, 1.0)
+    return bins_g0 + t * (bins_g1 - bins_g0)
+
+
+def torch_render_weights(density, tbins):
+    """w_i = (1 - exp(-sigma_i d_i)) * exp(-sum_{j<i} sigma_j d_j)."""
+    deltas = tbins[..., 1:] - tbins[..., :-1]
+    dd = deltas * density
+    alphas = 1.0 - torch.exp(-dd)
+    accum = torch.cumsum(dd[..., :-1], dim=-1)
+    accum = torch.cat([torch.zeros_like(accum[..., :1]), accum], dim=-1)
+    return alphas * torch.exp(-accum)
+
+
+def torch_outer(t0, t1, y1):
+    """mipnerf-360 inner/outer histogram measure (lossfun_outer upper bound):
+    sum of y1 over t1-bins overlapping each t0 interval."""
+    cy1 = torch.cat(
+        [torch.zeros_like(y1[..., :1]), torch.cumsum(y1, dim=-1)], dim=-1
+    )
+    idx_lo = torch.clamp(
+        torch.searchsorted(t1[..., :-1].contiguous(), t0[..., :-1].contiguous(), right=True) - 1,
+        0, t1.shape[-1] - 2,
+    )
+    idx_hi = torch.clamp(
+        torch.searchsorted(t1[..., 1:].contiguous(), t0[..., 1:].contiguous(), right=True),
+        0, t1.shape[-1] - 2,
+    )
+    cy1_lo = torch.gather(cy1[..., :-1], -1, idx_lo)
+    cy1_hi = torch.gather(cy1[..., 1:], -1, idx_hi)
+    return cy1_hi - cy1_lo
+
+
+def torch_interlevel(final_sbins, final_w, prop_sbins, prop_w):
+    c = final_sbins.detach()
+    w = final_w.detach()
+    eps = torch.finfo(torch.float32).eps
+    total = 0.0
+    for cp, wp in zip(prop_sbins, prop_w):
+        w_outer = torch_outer(c, cp, wp)
+        total = total + torch.mean(
+            torch.clamp(w - w_outer, min=0.0) ** 2 / (w + eps)
+        )
+    return total
+
+
+def torch_distortion(sbins, w):
+    """mipnerf-360 eq. 15 distortion regularizer."""
+    ut = (sbins[..., 1:] + sbins[..., :-1]) / 2.0
+    dut = torch.abs(ut[..., :, None] - ut[..., None, :])
+    inter = torch.sum(w * torch.sum(w[..., None, :] * dut, dim=-1), dim=-1)
+    intra = torch.sum(w**2 * (sbins[..., 1:] - sbins[..., :-1]), dim=-1) / 3.0
+    return torch.mean(inter + intra)
+
+
+def torch_hat(v):
+    z = torch.zeros_like(v[..., 0])
+    return torch.stack(
+        [
+            torch.stack([z, -v[..., 2], v[..., 1]], dim=-1),
+            torch.stack([v[..., 2], z, -v[..., 0]], dim=-1),
+            torch.stack([-v[..., 1], v[..., 0], z], dim=-1),
+        ],
+        dim=-2,
+    )
+
+
+def torch_exp_so3xr3(tangent):
+    """pytorch3d so3_exp_map (Rodrigues) on tangent[3:], translation
+    passthrough — nerfstudio lie_groups.exp_map_SO3xR3 semantics."""
+    log_rot = tangent[..., 3:]
+    nrms = torch.sum(log_rot**2, dim=-1)
+    theta = torch.sqrt(torch.clamp(nrms, min=1e-8))
+    fac1 = torch.sin(theta) / theta
+    fac2 = (1 - torch.cos(theta)) / theta**2
+    skews = torch_hat(log_rot)
+    sq = skews @ skews
+    eye = torch.eye(3).expand(skews.shape)
+    R = eye + fac1[..., None, None] * skews + fac2[..., None, None] * sq
+    return torch.cat([R, tangent[..., :3, None]], dim=-1)
+
+
+def torch_exp_se3(tangent):
+    """pytorch3d se3_exp_map: t = V @ v with V the SO3 left Jacobian."""
+    log_rot = tangent[..., 3:]
+    v = tangent[..., :3]
+    nrms = torch.sum(log_rot**2, dim=-1)
+    theta = torch.sqrt(torch.clamp(nrms, min=1e-8))
+    fac1 = torch.sin(theta) / theta
+    fac2 = (1 - torch.cos(theta)) / theta**2
+    fac3 = (theta - torch.sin(theta)) / theta**3
+    skews = torch_hat(log_rot)
+    sq = skews @ skews
+    eye = torch.eye(3).expand(skews.shape)
+    R = eye + fac1[..., None, None] * skews + fac2[..., None, None] * sq
+    V = eye + fac2[..., None, None] * skews + fac3[..., None, None] * sq
+    t = torch.einsum("...ij,...j->...i", V, v)
+    return torch.cat([R, t[..., None]], dim=-1)
+
+
+# ----------------------------------------------------------------------
+# (a) hash encoding
+# ----------------------------------------------------------------------
+class TestHashEncodingOracle:
+    # 2 dense + 4 hashed levels (resolutions 4,7,13,22,37,64 vs T=2^10):
+    # exercises the dense-prefix einsum path AND the hashed gather path.
+    SPEC = HashGridSpec(
+        num_levels=6, features_per_level=2, log2_hashmap_size=10,
+        base_res=4, max_res=64,
+    )
+
+    def _setup(self, n=257, seed=0):
+        spec = self.SPEC
+        table = init_hash_table(jax.random.PRNGKey(seed), spec)
+        pos = jax.random.uniform(jax.random.PRNGKey(seed + 1), (n, 3))
+        t_table = torch.tensor(np.asarray(table), requires_grad=True)
+        t_pos = torch.tensor(np.asarray(pos), requires_grad=True)
+        return spec, table, pos, t_table, t_pos
+
+    def test_forward_matches(self):
+        spec, table, pos, t_table, t_pos = self._setup()
+        got = np.asarray(hash_encode(table, pos, spec))
+        want = torch_hash_encode(t_table, t_pos, spec).detach().numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+    def test_forward_matches_across_table_sizes(self):
+        """The dense/hash switchover (tcnn rule res^3 > T) must agree."""
+        for log2 in (8, 12, 14):
+            spec = HashGridSpec(
+                num_levels=4, features_per_level=2, log2_hashmap_size=log2,
+                base_res=4, max_res=48,
+            )
+            table = init_hash_table(jax.random.PRNGKey(log2), spec)
+            pos = jax.random.uniform(jax.random.PRNGKey(1), (129, 3))
+            got = np.asarray(hash_encode(table, pos, spec))
+            want = torch_hash_encode(
+                torch.tensor(np.asarray(table)), torch.tensor(np.asarray(pos)), spec
+            ).numpy()
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7, err_msg=str(log2))
+
+    def test_table_gradients_match(self):
+        spec, table, pos, t_table, t_pos = self._setup()
+        g_out = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(7), (pos.shape[0], spec.out_dim))
+        )
+
+        def loss(tb):
+            return jnp.sum(hash_encode(tb, pos, spec) * g_out)
+
+        got = np.asarray(jax.grad(loss)(table))
+        out = torch_hash_encode(t_table, t_pos, spec)
+        out.backward(torch.tensor(g_out))
+        want = t_table.grad.numpy()
+        # scatter-order vs autograd accumulation order: rtol 1e-4
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_position_gradients_match(self):
+        spec, table, pos, t_table, t_pos = self._setup()
+        g_out = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(8), (pos.shape[0], spec.out_dim))
+        )
+
+        def loss(p):
+            return jnp.sum(hash_encode(table, p, spec) * g_out)
+
+        got = np.asarray(jax.grad(loss)(pos))
+        out = torch_hash_encode(t_table, t_pos, spec)
+        out.backward(torch.tensor(g_out))
+        want = t_pos.grad.numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ----------------------------------------------------------------------
+# (b) PDF resampling + proposal hierarchy
+# ----------------------------------------------------------------------
+class TestSamplerOracle:
+    def test_pdf_resampling_matches(self):
+        from thermo_tpu.ops.samplers import RaySegments, sample_pdf
+
+        rng = np.random.default_rng(0)
+        R, S = 17, 24
+        edges = np.sort(rng.uniform(0, 1, (R, S + 1)).astype(np.float32), axis=-1)
+        edges[:, 0], edges[:, -1] = 0.0, 1.0
+        w = rng.uniform(0, 0.2, (R, S)).astype(np.float32)
+        w[3] = 0.0  # degenerate histogram: eps-padding path
+        near = np.full((R, 1), 0.05, np.float32)
+        far = np.full((R, 1), 100.0, np.float32)
+
+        seg = RaySegments(
+            sbins=jnp.asarray(edges), tbins=jnp.asarray(edges)  # tbins unused
+        )
+        got = sample_pdf(
+            None, seg, jnp.asarray(w)[..., None], jnp.asarray(near),
+            jnp.asarray(far), num_samples=12, train=False,
+        )
+        want = torch_sample_pdf_eval(
+            torch.tensor(edges), torch.tensor(w), num_samples=12
+        ).numpy()
+        np.testing.assert_allclose(np.asarray(got.sbins), want, rtol=1e-5, atol=1e-6)
+
+    def test_spaced_sampler_piecewise_matches(self):
+        """Eval-mode initial sampler: s-domain linspace mapped through the
+        UniformLinDispPiecewise spacing (uniform below t=1, 1/t beyond)."""
+        from thermo_tpu.ops.samplers import sample_spaced
+
+        near = jnp.full((5, 1), 0.05)
+        far = jnp.full((5, 1), 1000.0)
+        seg = sample_spaced(None, near, far, num_samples=32, train=False)
+        s = np.linspace(0, 1, 33, dtype=np.float32)
+        sn, sf = 0.05 / 2.0, 1.0 - 1.0 / 2000.0
+        sq = s * sf + (1 - s) * sn
+        want = np.where(sq < 0.5, 2 * sq, 1.0 / (2 - 2 * sq))
+        np.testing.assert_allclose(
+            np.asarray(seg.tbins)[0], want, rtol=1e-5, atol=1e-6
+        )
+        assert abs(float(seg.tbins[0, 0]) - 0.05) < 1e-6
+        assert abs(float(seg.tbins[0, -1]) - 1000.0) < 0.1
+
+    def test_proposal_hierarchy_matches(self):
+        """Full eval-mode hierarchy vs a torch loop: spaced init -> density
+        -> weights -> PDF resample (x2 proposal iters) -> final segments."""
+        from thermo_tpu.ops.samplers import (
+            ProposalSamplerConfig,
+            proposal_sample,
+        )
+
+        R = 9
+        rng = np.random.default_rng(1)
+        origins = rng.uniform(-0.3, 0.3, (R, 3)).astype(np.float32)
+        d = rng.normal(size=(R, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        near = np.full((R, 1), 0.05, np.float32)
+        far = np.full((R, 1), 50.0, np.float32)
+
+        def density_np(p):  # smooth positive density, same in both frames
+            return 3.0 * np.exp(-np.sum(p * p, axis=-1, keepdims=True))
+
+        cfg = ProposalSamplerConfig(
+            num_nerf_samples_per_ray=8,
+            num_proposal_samples_per_ray=(16, 12),
+        )
+        fns = [
+            lambda p: jnp.asarray(density_np(np.asarray(p))),
+            lambda p: jnp.asarray(density_np(np.asarray(p))),
+        ]
+        # jax path (eval mode, no rng -> deterministic)
+        samples = proposal_sample(
+            None, fns, jnp.asarray(origins), jnp.asarray(d),
+            jnp.asarray(near), jnp.asarray(far), cfg, train=False,
+        )
+
+        # torch path
+        def spacing(t):
+            return np.where(t < 1.0, t / 2.0, 1.0 - 1.0 / (2.0 * t))
+
+        def spacing_inv(s):
+            return np.where(s < 0.5, 2.0 * s, 1.0 / (2.0 - 2.0 * s))
+
+        sn, sf = spacing(near), spacing(far)
+        sbins = np.broadcast_to(
+            np.linspace(0, 1, 17, dtype=np.float32), (R, 17)
+        ).copy()
+        for i, num in enumerate((16, 12, 8)):
+            if i > 0:
+                sbins = torch_sample_pdf_eval(
+                    torch.tensor(sbins), w, num_samples=num
+                ).numpy()
+            if i == 2:
+                break
+            tbins = spacing_inv(sbins * sf + (1 - sbins) * sn).astype(np.float32)
+            mids = (tbins[:, :-1] + tbins[:, 1:]) / 2.0
+            pos = origins[:, None, :] + d[:, None, :] * mids[..., None]
+            dens = density_np(pos)[..., 0]
+            w = torch_render_weights(torch.tensor(dens), torch.tensor(tbins))
+        np.testing.assert_allclose(
+            np.asarray(samples.final.sbins), sbins, rtol=1e-4, atol=1e-5
+        )
+
+    def test_render_weights_matches(self):
+        rng = np.random.default_rng(2)
+        dens = rng.uniform(0, 5, (7, 16, 1)).astype(np.float32)
+        tb = np.sort(rng.uniform(0.1, 10, (7, 17)).astype(np.float32), axis=-1)
+        from thermo_tpu.ops.rendering import render_weights
+
+        got = np.asarray(
+            render_weights(
+                jnp.asarray(dens), jnp.asarray(tb[..., :-1, None]),
+                jnp.asarray(tb[..., 1:, None]),
+            )
+        )[..., 0]
+        want = torch_render_weights(
+            torch.tensor(dens[..., 0]), torch.tensor(tb)
+        ).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+# ----------------------------------------------------------------------
+# (c) interlevel + distortion losses
+# ----------------------------------------------------------------------
+class TestLossOracle:
+    def _hists(self, seed=0):
+        rng = np.random.default_rng(seed)
+        R = 11
+        f_edges = np.sort(rng.uniform(0, 1, (R, 9)).astype(np.float32), -1)
+        f_edges[:, 0], f_edges[:, -1] = 0.0, 1.0
+        f_w = rng.uniform(0, 0.3, (R, 8)).astype(np.float32)
+        props = []
+        for s, n in ((1, 16), (2, 12)):
+            e = np.sort(rng.uniform(0, 1, (R, n + 1)).astype(np.float32), -1)
+            e[:, 0], e[:, -1] = 0.0, 1.0
+            w = rng.uniform(0, 0.3, (R, n)).astype(np.float32)
+            props.append((e, w))
+        return f_edges, f_w, props
+
+    def test_interlevel_value_matches(self):
+        from thermo_tpu.ops.losses import interlevel_loss
+
+        f_edges, f_w, props = self._hists()
+        got = float(
+            interlevel_loss(
+                jnp.asarray(f_edges), jnp.asarray(f_w)[..., None],
+                [jnp.asarray(e) for e, _ in props],
+                [jnp.asarray(w)[..., None] for _, w in props],
+            )
+        )
+        want = float(
+            torch_interlevel(
+                torch.tensor(f_edges), torch.tensor(f_w),
+                [torch.tensor(e) for e, _ in props],
+                [torch.tensor(w) for _, w in props],
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_interlevel_gradients_match(self):
+        """The proposal-weight gradient is the trained signal — the
+        bracket-reduction backward must match torch autograd through
+        searchsorted+gather."""
+        from thermo_tpu.ops.losses import interlevel_loss
+
+        f_edges, f_w, props = self._hists(seed=3)
+
+        def loss_jax(w0, w1):
+            return interlevel_loss(
+                jnp.asarray(f_edges), jnp.asarray(f_w)[..., None],
+                [jnp.asarray(props[0][0]), jnp.asarray(props[1][0])],
+                [w0[..., None], w1[..., None]],
+            )
+
+        g_jax = jax.grad(loss_jax, argnums=(0, 1))(
+            jnp.asarray(props[0][1]), jnp.asarray(props[1][1])
+        )
+        tw = [torch.tensor(w, requires_grad=True) for _, w in props]
+        out = torch_interlevel(
+            torch.tensor(f_edges), torch.tensor(f_w),
+            [torch.tensor(e) for e, _ in props], tw,
+        )
+        out.backward()
+        for g, t in zip(g_jax, tw):
+            np.testing.assert_allclose(
+                np.asarray(g), t.grad.numpy(), rtol=1e-4, atol=1e-7
+            )
+
+    def test_distortion_value_and_grad_match(self):
+        from thermo_tpu.ops.losses import distortion_loss
+
+        f_edges, f_w, _ = self._hists(seed=4)
+        got = float(
+            distortion_loss(jnp.asarray(f_edges), jnp.asarray(f_w)[..., None])
+        )
+        tw = torch.tensor(f_w, requires_grad=True)
+        want = torch_distortion(torch.tensor(f_edges), tw)
+        np.testing.assert_allclose(got, float(want.detach()), rtol=1e-5)
+
+        g_jax = jax.grad(
+            lambda w: distortion_loss(jnp.asarray(f_edges), w[..., None])
+        )(jnp.asarray(f_w))
+        want.backward()
+        np.testing.assert_allclose(
+            np.asarray(g_jax), tw.grad.numpy(), rtol=1e-4, atol=1e-7
+        )
+
+
+# ----------------------------------------------------------------------
+# (d) camera-optimizer exponential maps
+# ----------------------------------------------------------------------
+class TestExpMapOracle:
+    def _tangents(self):
+        rng = np.random.default_rng(5)
+        t = rng.normal(scale=0.3, size=(64, 6)).astype(np.float32)
+        t[0] = 0.0  # identity
+        t[1, 3:] = 0.0  # pure translation
+        t[2, :3] = 0.0  # pure rotation
+        t[3, 3:] = [np.pi / 2, 0, 0]  # large rotation
+        return t
+
+    def test_so3xr3_matches(self):
+        from thermo_tpu.models.camera_opt import exp_map_SO3xR3
+
+        t = self._tangents()
+        got = np.asarray(exp_map_SO3xR3(jnp.asarray(t)))
+        want = torch_exp_so3xr3(torch.tensor(t)).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_se3_matches(self):
+        from thermo_tpu.models.camera_opt import exp_map_SE3
+
+        t = self._tangents()
+        got = np.asarray(exp_map_SE3(jnp.asarray(t)))
+        want = torch_exp_se3(torch.tensor(t)).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_rotations_orthonormal(self):
+        from thermo_tpu.models.camera_opt import exp_map_SO3xR3
+
+        t = self._tangents()
+        R = np.asarray(exp_map_SO3xR3(jnp.asarray(t)))[..., :3]
+        eye = np.broadcast_to(np.eye(3), R.shape)
+        np.testing.assert_allclose(R @ np.swapaxes(R, -1, -2), eye, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)

@@ -1,12 +1,24 @@
-"""Synthetic ThermoScenes-style scene generator: a textured sphere with a
-thermal hotspot, rendered analytically (ray-sphere intersection) into a
-transforms.json dataset with ``thermal_file_path`` per frame and
-train/eval filename split — the shape of data produced by the reference's
-thermo_scenes preprocessing (SURVEY §3.5).
+"""Synthetic ThermoScenes-style scene generators.
 
-Used by the test suite (tests/test_data.py, tests/test_train_e2e.py) and by
-``thermo_tpu.scripts.quality_ablation`` for measured speed/quality
-trade-off reports on real TPU hardware."""
+Analytic ray-traced scenes rendered into a transforms.json dataset with
+``thermal_file_path`` per frame and a train/eval filename split — the shape
+of data produced by the reference's thermo_scenes preprocessing (SURVEY
+§3.5). Used by the test suite (tests/test_data.py, tests/test_train_e2e.py)
+and by ``thermo_tpu.scripts.quality_ablation`` for measured speed/quality
+trade-off reports on real TPU hardware.
+
+Variants (round-4 verdict item 5: quality conclusions must rest on more
+than one scene):
+  * ``"sphere"`` — the round-3 scene: one normal-shaded sphere with a
+    thermal hotspot on a white background.
+  * ``"cold"``   — a COLD object on a warm background: the foreground is
+    the low-temperature region, exercising the inverted Otsu mask path
+    end-to-end (mae_thermal ``cold=True``: mask = gt < threshold,
+    reference thermal_metrics.py:22-28).
+  * ``"multi"``  — three textured spheres (checker patterns, distinct
+    sizes/positions/temperatures) plus a cool ground plane: multi-object
+    occlusion and hierarchical sampling with several density modes.
+"""
 
 from __future__ import annotations
 
@@ -35,8 +47,7 @@ def look_at_pose(eye: np.ndarray, target: np.ndarray, up=np.array([0.0, 0.0, 1.0
     return c2w
 
 
-def render_sphere(c2w: np.ndarray, h: int, w: int, f: float):
-    """Analytic render: RGB from surface normal, thermal from a hotspot."""
+def _camera_dirs(c2w: np.ndarray, h: int, w: int, f: float):
     ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     cx, cy = w / 2.0, h / 2.0
     dirs_cam = np.stack(
@@ -45,14 +56,25 @@ def render_sphere(c2w: np.ndarray, h: int, w: int, f: float):
     R = c2w[:3, :3]
     dirs = dirs_cam @ R.T
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    o = c2w[:3, 3]
+    return dirs, c2w[:3, 3]
 
-    b = 2.0 * np.sum(dirs * o, axis=-1)
-    c = np.dot(o, o) - SPHERE_RADIUS**2
+
+def _intersect_sphere(o, dirs, center, radius):
+    """Nearest positive ray-sphere hit distance (inf when missed)."""
+    oc = o - center
+    b = 2.0 * np.sum(dirs * oc, axis=-1)
+    c = np.dot(oc, oc) - radius**2
     disc = b * b - 4.0 * c
-    hit = disc > 0
-    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0.0))) / 2.0, 0.0)
-    p = o + dirs * t[..., None]
+    t = np.where(disc > 0, (-b - np.sqrt(np.maximum(disc, 0.0))) / 2.0, np.inf)
+    return np.where(t > 1e-6, t, np.inf)
+
+
+def render_sphere(c2w: np.ndarray, h: int, w: int, f: float):
+    """Analytic render: RGB from surface normal, thermal from a hotspot."""
+    dirs, o = _camera_dirs(c2w, h, w, f)
+    t = _intersect_sphere(o, dirs, np.zeros(3), SPHERE_RADIUS)
+    hit = np.isfinite(t)
+    p = o + dirs * np.where(hit, t, 0.0)[..., None]
     n = p / SPHERE_RADIUS
 
     rgb = np.where(hit[..., None], (n * 0.5 + 0.5), 1.0)  # white background
@@ -61,9 +83,102 @@ def render_sphere(c2w: np.ndarray, h: int, w: int, f: float):
     return (rgb * 255).astype(np.uint8), (thermal * 255).astype(np.uint8)
 
 
+def render_cold_sphere(c2w: np.ndarray, h: int, w: int, f: float):
+    """COLD foreground object on a warm background: thermal values invert
+    the sphere scene (object ~0.1-0.35, background 0.85), so the Otsu
+    foreground mask must select gt < threshold (``cold=True``)."""
+    dirs, o = _camera_dirs(c2w, h, w, f)
+    t = _intersect_sphere(o, dirs, np.zeros(3), SPHERE_RADIUS)
+    hit = np.isfinite(t)
+    p = o + dirs * np.where(hit, t, 0.0)[..., None]
+    n = p / SPHERE_RADIUS
+
+    # light checker texture so RGB carries structure
+    checker = (np.floor(4 * np.arccos(np.clip(n[..., 2], -1, 1)) / math.pi)
+               + np.floor(4 * (np.arctan2(n[..., 1], n[..., 0]) / math.pi + 1))) % 2
+    base = 0.35 + 0.45 * checker[..., None]
+    rgb = np.where(hit[..., None], base * (n * 0.2 + 0.8), 0.9)
+    coldspot = np.exp(-4.0 * np.sum((n - np.array([0.0, 0.0, 1.0])) ** 2, axis=-1))
+    thermal = np.where(hit, 0.35 - 0.25 * coldspot, 0.85)
+    return (rgb * 255).astype(np.uint8), (thermal * 255).astype(np.uint8)
+
+
+# (center, radius, base hue, thermal level) of the multi-object scene
+_MULTI_SPHERES = (
+    (np.array([0.32, 0.10, 0.05]), 0.30, np.array([0.9, 0.3, 0.2]), 0.95),
+    (np.array([-0.30, -0.05, -0.05]), 0.24, np.array([0.2, 0.5, 0.9]), 0.55),
+    (np.array([0.0, -0.38, 0.12]), 0.17, np.array([0.3, 0.9, 0.4]), 0.75),
+)
+
+
+def render_multi(c2w: np.ndarray, h: int, w: int, f: float):
+    """Three checker-textured spheres at distinct temperatures + a cool
+    ground plane at z = -0.45; nearest-hit shading with occlusion."""
+    dirs, o = _camera_dirs(c2w, h, w, f)
+    best_t = np.full(dirs.shape[:2], np.inf)
+    rgb = np.full((*dirs.shape[:2], 3), 1.0)
+    thermal = np.full(dirs.shape[:2], 0.08)
+
+    # ground plane z = -0.45 (slightly warm checkered floor)
+    dz = dirs[..., 2]
+    tp = np.where(np.abs(dz) > 1e-8, (-0.45 - o[2]) / dz, np.inf)
+    tp = np.where(tp > 1e-6, tp, np.inf)
+    pp = o + dirs * np.where(np.isfinite(tp), tp, 0.0)[..., None]
+    in_disk = np.sum(pp[..., :2] ** 2, axis=-1) < 1.0
+    tp = np.where(in_disk, tp, np.inf)
+    pc = (np.floor(pp[..., 0] * 4) + np.floor(pp[..., 1] * 4)) % 2
+    plane_hit = tp < best_t
+    best_t = np.where(plane_hit, tp, best_t)
+    rgb = np.where(
+        plane_hit[..., None], (0.45 + 0.25 * pc)[..., None] * np.ones(3), rgb
+    )
+    thermal = np.where(plane_hit, 0.25 + 0.05 * pc, thermal)
+
+    for center, radius, hue, temp in _MULTI_SPHERES:
+        t = _intersect_sphere(o, dirs, center, radius)
+        closer = t < best_t
+        p = o + dirs * np.where(np.isfinite(t), t, 0.0)[..., None]
+        n = (p - center) / radius
+        checker = (
+            np.floor(3 * np.arccos(np.clip(n[..., 2], -1, 1)) / math.pi)
+            + np.floor(3 * (np.arctan2(n[..., 1], n[..., 0]) / math.pi + 1))
+        ) % 2
+        col = hue * (0.55 + 0.45 * checker[..., None]) * (n[..., 2:3] * 0.25 + 0.75)
+        # per-sphere hotspot toward +z
+        spot = np.exp(-3.0 * np.sum((n - np.array([0.0, 0.0, 1.0])) ** 2, axis=-1))
+        th = temp * (0.6 + 0.4 * spot)
+        best_t = np.where(closer, t, best_t)
+        rgb = np.where(closer[..., None], col, rgb)
+        thermal = np.where(closer, th, thermal)
+
+    return (np.clip(rgb, 0, 1) * 255).astype(np.uint8), (
+        np.clip(thermal, 0, 1) * 255
+    ).astype(np.uint8)
+
+
+_VARIANTS = {
+    "sphere": (render_sphere, False),
+    "cold": (render_cold_sphere, True),
+    "multi": (render_multi, False),
+}
+
+
 def make_synthetic_scene(
-    root: Path, num_train: int = 10, num_eval: int = 2, size: int = 48
+    root: Path,
+    num_train: int = 10,
+    num_eval: int = 2,
+    size: int = 48,
+    variant: str = "sphere",
 ) -> Path:
+    """Write a ThermoScenes-shaped dataset; returns the dataset root.
+
+    ``variant``: "sphere" | "cold" | "multi" (module docstring). The scene's
+    ``cold`` flag (whether the thermal foreground is the LOW-temperature
+    region, driving the inverted Otsu mask) is recorded in
+    temperature_bounds.json as ``"cold"`` for the callers that wire it into
+    evaluation.
+    """
+    render_fn, is_cold = _VARIANTS[variant]
     root = Path(root)
     (root / "images").mkdir(parents=True, exist_ok=True)
     (root / "thermal").mkdir(parents=True, exist_ok=True)
@@ -76,7 +191,7 @@ def make_synthetic_scene(
             [1.6 * math.cos(phase), 1.6 * math.sin(phase), 0.7 + 0.2 * math.sin(3 * phase)]
         )
         c2w = look_at_pose(eye, np.zeros(3))
-        rgb, th = render_sphere(c2w, size, size, f)
+        rgb, th = render_fn(c2w, size, size, f)
         split = "train" if i < num_train else "eval"
         name = f"frame_{split}_{i:05d}.png"
         Image.fromarray(rgb).save(root / "images" / name)
@@ -95,6 +210,8 @@ def make_synthetic_scene(
     }
     (root / "transforms.json").write_text(json.dumps(meta, indent=2))
     (root / "temperature_bounds.json").write_text(
-        json.dumps({"max_temperature": 30.0, "min_temperature": 10.0})
+        json.dumps(
+            {"max_temperature": 30.0, "min_temperature": 10.0, "cold": is_cold}
+        )
     )
     return root

@@ -143,7 +143,7 @@ def thermal_nerf_tpu_config() -> TrainerConfig:
     steps vs 17.32 / 0.083 for ``thermal-nerf`` (exact) at 350 steps — the
     step-rate advantage does NOT recover the estimator bias on that budget.
     For the best measured quality-per-wall-clock use ``thermal-nerf-fast``
-    (iso-time winner: 18.16 / 0.076); for reference parity use
+    (iso-time winner, ff1gl2 knobs: 18.93 / 0.065); for reference parity use
     ``thermal-nerf``. Eval rendering is exact everywhere."""
     import dataclasses
 
@@ -168,7 +168,8 @@ def thermal_nerf_fast_config() -> TrainerConfig:
     ablation, outputs/qa_r3/ablation.json): the full 16x2^19 grid and exact
     hash proposals of ``thermal-nerf`` with the stochastic-trilinear
     final-field forward plus corner/level-subsampled table gradients
-    (``hash_fwd_corners=1, hash_grad_corners=1, hash_grad_levels=2``). At a
+    (``hash_fwd_corners=1, hash_grad_levels=2`` — the forward's corner draws
+    also drive the backward, so no separate grad_corners knob). At a
     fixed 420s v5e budget this knob set beat every other variant on every
     thermal metric — psnr_thermal 18.93 / mae_thermal 0.065 vs 18.16/0.076
     for the forward-only knob and 17.32/0.083 for exact — while its
@@ -181,10 +182,12 @@ def thermal_nerf_fast_config() -> TrainerConfig:
 
     cfg = thermal_nerf_config()
     cfg.method_name = "thermal-nerf-fast"
+    # NOTE: hash_grad_corners is NOT set — it is inert whenever
+    # hash_fwd_corners>0 (the stochastic-forward path derives its backward
+    # from the forward's corner draws; see ops/hash_encoding.hash_encode).
     cfg.model = dataclasses.replace(
         cfg.model,
         hash_fwd_corners=1,
-        hash_grad_corners=1,
         hash_grad_levels=2,
     )
     return cfg
@@ -237,6 +240,31 @@ def thermal_nerf_mid_config() -> TrainerConfig:
     return cfg
 
 
+def thermal_nerf_tri_config() -> TrainerConfig:
+    """Round-4 candidate: the full 16x2^19 grid and ff1gl2 estimator knobs
+    of ``thermal-nerf-fast`` with TRIPLANE (K-planes) proposal fields
+    instead of exact hash grids (ops/triplane.py — non-separable matmul
+    encoding, no gathers/scatters). The round-3 data isolated the fast
+    preset's ~445ms/step cost to its exact-trilinear hash proposals and the
+    tpu preset's quality ceiling to its separable CP proposals; triplane
+    proposals target both at once. Promotion to flagship requires the
+    round-4 iso-wall-clock ablation (scripts/quality_ablation.py) across
+    >= 3 scene variants; see PERFORMANCE.md round-4 tables for the measured
+    speed and quality."""
+    import dataclasses
+
+    cfg = thermal_nerf_fast_config()
+    cfg.method_name = "thermal-nerf-tri"
+    cfg.model = dataclasses.replace(
+        cfg.model,
+        proposal_net_args_list=(
+            ProposalNetArgs(kind="triplane", max_res=128, rank=8),
+            ProposalNetArgs(kind="triplane", max_res=192, rank=8),
+        ),
+    )
+    return cfg
+
+
 METHOD_CONFIGS = {
     "thermal-nerf": thermal_nerf_config,
     "nerfacto-track": thermalnerfacto_config,
@@ -246,4 +274,5 @@ METHOD_CONFIGS = {
     "thermal-nerf-fast": thermal_nerf_fast_config,
     "thermal-nerf-cp": thermal_nerf_cp_config,
     "thermal-nerf-mid": thermal_nerf_mid_config,
+    "thermal-nerf-tri": thermal_nerf_tri_config,
 }

@@ -165,6 +165,83 @@ def make_train_step(
     return train_steps
 
 
+def make_train_step_fed(
+    model: ThermoNerfModel,
+    tx: optax.GradientTransformation,
+    config: TrainerConfig,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Multi-host variant of ``make_train_step``: the pixel batch is sampled
+    HOST-side per process from a host-local image shard (SURVEY §7 step 6 —
+    per-host data loading of disjoint ray batches) and fed in as global
+    sharded arrays; the jitted scan consumes one pre-sampled batch per step.
+
+    Returns ``fn(state, cameras, img, py, px, gt_rgb, gt_thermal) ->
+    (state, metrics)`` where the batch arrays have a leading
+    ``steps_per_jit_loop`` axis and ``img`` holds GLOBAL camera indices.
+    """
+    concat = model.config.mode == "concat"
+    use_thermal_gt = model.config.mode in ("thermal", "concat")
+
+    def shard(x):
+        if mesh is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+
+    def one_step(carry, xs, cameras: Cameras):
+        state: TrainState = carry
+        img, py, px, gt_rgb, gt_thermal = xs
+        rng, k_fwd, k_bg = jax.random.split(state.rng, 3)
+        img, py, px = shard(img), shard(py), shard(px)
+        gt_rgb = shard(gt_rgb)
+        rays = generate_rays(cameras, img, py, px)
+        rays = RayBundle(*(shard(r) for r in rays))
+
+        sched = proposal_update_schedule(
+            state.step.astype(jnp.float32), model.sampler_cfg
+        )
+        updated = (state.steps_since_update.astype(jnp.float32) > sched) | (
+            state.step < 10
+        )
+        flag = updated.astype(jnp.float32)
+
+        def loss_fn(params):
+            out = model.forward(
+                params, rays, k_fwd,
+                step=state.step.astype(jnp.float32),
+                prop_grad_flag=flag, train=True,
+            )
+            gt_t = gt_thermal if use_thermal_gt else None
+            gt = jnp.concatenate([gt_rgb, gt_t], axis=-1) if concat else gt_rgb
+            return model.losses(params, out, gt, gt_t, rng=k_bg)
+
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_ssu = jnp.where(updated, 0, state.steps_since_update) + 1
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1,
+            steps_since_update=new_ssu, rng=rng,
+        )
+        metrics = dict(metrics)
+        metrics["total_loss"] = total
+        return new_state, metrics
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_steps(state, cameras, img, py, px, gt_rgb, gt_thermal):
+        state, metrics = jax.lax.scan(
+            partial(one_step, cameras=cameras),
+            state,
+            (img, py, px, gt_rgb, gt_thermal),
+        )
+        return state, {k: jnp.mean(v) for k, v in metrics.items()}
+
+    return train_steps
+
+
 def make_render_fn(
     model: ThermoNerfModel,
     chunk_size: int,
@@ -231,18 +308,37 @@ class Trainer:
         thermal_u8: Optional[np.ndarray],
         mesh: Optional[Mesh] = None,
         log_fn: Optional[Callable[[TrainLog], None]] = None,
+        data_shards: int = 1,
+        local_shard: Optional[int] = None,
     ):
+        """``data_shards`` > 1 enables the HOST-DISJOINT data path (SURVEY §7
+        step 6): the image stack is partitioned into ``data_shards`` equal
+        contiguous shards, each sampled with its own deterministic per-step
+        seed, and the global ray batch is the shard-ordered concatenation.
+        ``local_shard`` names the single shard THIS process holds (multi-host:
+        ``images_u8``/``thermal_u8``/``cameras`` are then the local slice of
+        shard ``local_shard``, and the global batch is assembled across
+        processes with ``jax.make_array_from_process_local_data``);
+        ``local_shard=None`` keeps all shards on this process (the
+        single-process oracle — the sampled global batch is IDENTICAL either
+        way, which is what tests/test_multihost.py asserts). Note: with
+        ``local_shard`` set, ``cameras`` must still be the GLOBAL camera set
+        (small, replicated) so ray generation sees global indices."""
         self.config = config
         self.model = model
         self.mesh = mesh
         self.log_fn = log_fn
         self.cameras = cameras
+        self.data_shards = int(data_shards)
+        self.local_shard = local_shard
+        self._images_np = np.asarray(images_u8)
+        self._thermal_np = (
+            np.asarray(thermal_u8)
+            if thermal_u8 is not None
+            else np.zeros((*images_u8.shape[:3], 1), np.uint8)
+        )
         self.images = jnp.asarray(images_u8)
-        if thermal_u8 is not None:
-            self.thermal = jnp.asarray(thermal_u8)
-        else:
-            # zero-size placeholder keeps the step signature static
-            self.thermal = jnp.zeros((*images_u8.shape[:3], 1), jnp.uint8)
+        self.thermal = jnp.asarray(self._thermal_np)
 
         rng = jax.random.PRNGKey(config.seed)
         self.state, self.tx = create_train_state(model, config, rng)
@@ -252,10 +348,83 @@ class Trainer:
             from thermo_tpu.parallel.mesh import shard_params_for_mesh
 
             self.state = shard_params_for_mesh(mesh, self.state)
-        self.train_steps = make_train_step(model, self.tx, config, mesh)
+        if self.data_shards > 1:
+            assert config.train_num_rays_per_batch % self.data_shards == 0
+            self.train_steps_fed = make_train_step_fed(model, self.tx, config, mesh)
+            self.train_steps = self._fed_train_steps
+        else:
+            self.train_steps = make_train_step(model, self.tx, config, mesh)
         self.logs: list[TrainLog] = []
         self._eval_batch_fn = None
         self._eval_data = None
+
+    # ------------------------------------------------------------------
+    # host-disjoint data path (data_shards > 1)
+    # ------------------------------------------------------------------
+    def _sample_shard(self, step: int, shard: int) -> tuple:
+        """Deterministic per-(step, shard) pixel sample from that shard's
+        image range. Seeding depends only on (config.seed, step, shard) —
+        NOT on the process layout — so any partitioning of shards across
+        processes reproduces the same global batch."""
+        rays = self.config.train_num_rays_per_batch // self.data_shards
+        rng = np.random.default_rng((self.config.seed, step, shard))
+        if self.local_shard is None:
+            n_global = self._images_np.shape[0]
+            per = n_global // self.data_shards
+            lo = shard * per
+            imgs, therm = (
+                self._images_np[lo : lo + per],
+                self._thermal_np[lo : lo + per],
+            )
+        else:
+            lo = self.local_shard * self._images_np.shape[0]
+            imgs, therm = self._images_np, self._thermal_np
+        n, h, w = imgs.shape[:3]
+        img = rng.integers(0, n, rays)
+        py = rng.integers(0, h, rays)
+        px = rng.integers(0, w, rays)
+        gt_rgb = imgs[img, py, px].astype(np.float32) / 255.0
+        gt_t = therm[img, py, px].astype(np.float32) / 255.0
+        return (
+            (img + lo).astype(np.int32), py.astype(np.int32),
+            px.astype(np.int32), gt_rgb, gt_t,
+        )
+
+    def _host_batches(self, step0: int) -> tuple:
+        """Stack steps_per_jit_loop batches, shards concatenated in global
+        shard order (locally: only the owned shard's slice)."""
+        owned = (
+            range(self.data_shards) if self.local_shard is None else [self.local_shard]
+        )
+        loops = []
+        for s in range(self.config.steps_per_jit_loop):
+            parts = [self._sample_shard(step0 + s, h) for h in owned]
+            loops.append([np.concatenate(cols) for cols in zip(*parts)])
+        stacked = [np.stack(cols) for cols in zip(*loops)]  # [L, R_local, ...]
+        if jax.process_count() > 1 and self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def globalize(x):
+                spec = PartitionSpec(None, "data", *([None] * (x.ndim - 2)))
+                global_shape = (
+                    x.shape[0],
+                    x.shape[1] * self.data_shards // len(list(owned)),
+                    *x.shape[2:],
+                )
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(self.mesh, spec), x, global_shape
+                )
+
+            return tuple(globalize(x) for x in stacked)
+        return tuple(jnp.asarray(x) for x in stacked)
+
+    def _fed_train_steps(self, state, images, thermal, cameras):
+        """train_steps-compatible wrapper over the fed step (host-side
+        sampling). ``images``/``thermal`` args are ignored — data comes from
+        the host-local numpy shard."""
+        del images, thermal
+        batch = self._host_batches(int(state.step))
+        return self.train_steps_fed(state, cameras, *batch)
 
     @property
     def step(self) -> int:

@@ -10,8 +10,15 @@ an ``.npz`` file when available (documented metric substitution, SURVEY §7):
       ``python -m thermo_tpu.metrics.lpips export /path/lpips_alex.npz``
   * point ``THERMO_TPU_LPIPS_WEIGHTS`` at the file (or pass ``weights_path``).
 
-Without weights, ``lpips_fn()`` returns None and evaluators omit the metric
-(metrics.json simply lacks the lpips keys).
+Without weights, ``lpips_fn()`` returns None, logs a LOUD warning, and
+evaluators omit the metric (metrics.json simply lacks the lpips keys).
+
+Integrity: a loaded npz is validated against ``weight_manifest()`` (keys and
+shapes) and its sha256 is logged; set ``THERMO_TPU_LPIPS_SHA256`` to pin a
+known-good digest (loading aborts on mismatch). Export your own npz with the
+helper below and record `sha256sum lpips_alex.npz` next to it — the digest
+depends on the lpips pip release that produced it, so no single upstream
+value is canonical.
 
 Expected npz keys: ``features.{0,3,6,8,10}.{weight,bias}`` (AlexNet convs,
 OIHW) and ``lins.{0..4}.weight`` (1x1 LPIPS heads), the standard
@@ -20,6 +27,8 @@ richzhang/PerceptualSimilarity parameterization.
 
 from __future__ import annotations
 
+import hashlib
+import logging
 import os
 from pathlib import Path
 from typing import Callable, Optional
@@ -85,8 +94,38 @@ def lpips_fn(
     """
     path = weights_path or os.environ.get("THERMO_TPU_LPIPS_WEIGHTS")
     if not path or not Path(path).exists():
+        logging.getLogger(__name__).warning(
+            "LPIPS weights not found (%s): the lpips/lpips_thermal metrics "
+            "will be OMITTED from metrics.json. The reference reports LPIPS "
+            "(torchmetrics LPIPS-alex, thermal_nerf_model.py:33,202); to "
+            "enable it, export weights once with "
+            "`python -m thermo_tpu.metrics.lpips export lpips_alex.npz` on a "
+            "machine with the `lpips` pip package and point "
+            "THERMO_TPU_LPIPS_WEIGHTS at the file.",
+            path or "THERMO_TPU_LPIPS_WEIGHTS unset",
+        )
         return None
+    digest = hashlib.sha256(Path(path).read_bytes()).hexdigest()
+    pinned = os.environ.get("THERMO_TPU_LPIPS_SHA256")
+    if pinned and digest != pinned.lower():
+        raise ValueError(
+            f"LPIPS weights {path} sha256 {digest} != pinned "
+            f"THERMO_TPU_LPIPS_SHA256 {pinned}"
+        )
+    logging.getLogger(__name__).info("LPIPS weights %s sha256=%s", path, digest)
     w = _load_weights(Path(path))
+    manifest = weight_manifest()
+    missing = sorted(set(manifest) - set(w))
+    if missing:
+        raise ValueError(f"LPIPS weights {path} missing keys: {missing}")
+    for key, shape in manifest.items():
+        if tuple(w[key].reshape(-1).shape if key.startswith("lins") else w[key].shape) != tuple(
+            (int(np.prod(shape)),) if key.startswith("lins") else shape
+        ):
+            raise ValueError(
+                f"LPIPS weights {path}: {key} has shape {w[key].shape}, "
+                f"expected {shape}"
+            )
 
     def alex_features(x: Array) -> list[Array]:
         # x: [1, H, W, 3] in [-1, 1]

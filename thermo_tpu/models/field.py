@@ -29,6 +29,7 @@ from thermo_tpu.models.mlp import MLP
 from thermo_tpu.ops.contraction import contract_to_unit_cube, normalize_with_aabb
 from thermo_tpu.ops.hash_encoding import HashGridSpec, hash_encode
 from thermo_tpu.ops.lowrank import cp_encode, init_cp_lines
+from thermo_tpu.ops.triplane import init_triplanes, triplane_encode
 from thermo_tpu.ops.math import normalize, trunc_exp
 from thermo_tpu.ops.sh import sh_dim, sh_encoding
 
@@ -359,6 +360,60 @@ class CPDensityField(nn.Module):
             "lines", lambda key: init_cp_lines(key, self.resolution, self.rank)
         )
         feats = cp_encode(lines, p).astype(self.compute_dtype)
+        if self.use_linear:
+            h = nn.Dense(1, dtype=self.compute_dtype)(feats)
+        else:
+            h = MLP(
+                num_layers=self.num_layers,
+                layer_width=self.hidden_dim,
+                out_dim=1,
+                compute_dtype=self.compute_dtype,
+            )(feats)
+        density = self.average_init_density * trunc_exp(h.astype(jnp.float32))
+        return density * selector[..., None].astype(jnp.float32)
+
+
+class TriplaneDensityField(nn.Module):
+    """Proposal-net density field over a K-planes/triplane grid, evaluated
+    as per-plane MXU matmuls (ops/triplane.py).
+
+    TPU-native NON-SEPARABLE replacement for HashMLPDensityField in the
+    proposal role (nerfstudio ``fields/density_fields.py``, bound at
+    thermal_nerf_model.py:118-149): same contraction, selector, MLP -> 1
+    density and trunc_exp semantics, but the encoding is three bilinearly
+    interpolated planes multiplied elementwise — forward AND backward are
+    matmuls + dense VPU work (no hash gathers, no scatter-add gradients),
+    while pairwise axis interactions stay representable (unlike the CP
+    encoding, whose separable structure was the measured quality ceiling of
+    the round-3 throughput preset — PERFORMANCE.md iso-wall-clock ablation).
+    """
+
+    aabb: tuple
+    resolution: int = 128
+    rank: int = 8
+    num_layers: int = 2
+    hidden_dim: int = 16
+    use_linear: bool = False
+    use_contraction: bool = True
+    average_init_density: float = 1.0
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, positions: Array, exact: bool = False) -> Array:
+        """positions [..., 3] world -> density [..., 1] f32. ``exact`` is
+        accepted for HashMLPDensityField interface parity (triplane
+        evaluation is always exact bilinear)."""
+        del exact
+        if self.use_contraction:
+            p = contract_to_unit_cube(positions)
+        else:
+            p = normalize_with_aabb(positions, jnp.asarray(self.aabb, jnp.float32))
+        selector = jnp.all((p > 0.0) & (p < 1.0), axis=-1)
+        p = p * selector[..., None]
+        planes = self.param(
+            "planes", lambda key: init_triplanes(key, self.resolution, self.rank)
+        )
+        feats = triplane_encode(planes, p).astype(self.compute_dtype)
         if self.use_linear:
             h = nn.Dense(1, dtype=self.compute_dtype)(feats)
         else:

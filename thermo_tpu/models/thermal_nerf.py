@@ -41,6 +41,7 @@ from thermo_tpu.models.field import (
     CPDensityField,
     HashMLPDensityField,
     ThermalNerfactoField,
+    TriplaneDensityField,
 )
 from thermo_tpu.ops import losses as L
 from thermo_tpu.ops import rendering as R
@@ -59,7 +60,10 @@ class ProposalNetArgs:
 
     ``kind="hash"`` builds the reference-parity HashMLPDensityField;
     ``kind="cp"`` builds the TPU-native CPDensityField (two-hot matmul
-    encoding at ``max_res`` resolution, rank ``rank`` — see ops/lowrank.py).
+    encoding at ``max_res`` resolution, rank ``rank`` — see ops/lowrank.py);
+    ``kind="triplane"`` builds the TPU-native TriplaneDensityField (K-planes
+    product of three bilinear planes at ``max_res`` resolution with ``rank``
+    features/plane, matmul fwd+bwd — see ops/triplane.py).
     """
 
     hidden_dim: int = 16
@@ -69,7 +73,7 @@ class ProposalNetArgs:
     max_res: int = 128
     use_linear: bool = False
     features_per_level: int = 2
-    kind: str = "hash"  # "hash" | "cp"
+    kind: str = "hash"  # "hash" | "cp" | "triplane"
     rank: int = 32
 
 
@@ -227,6 +231,18 @@ class ThermoNerfModel:
                 for i in range(n)
             ]
         def _build_proposal(a: ProposalNetArgs):
+            if a.kind == "triplane":
+                return TriplaneDensityField(
+                    aabb=self.aabb,
+                    resolution=a.max_res,
+                    rank=a.rank,
+                    num_layers=2,
+                    hidden_dim=a.hidden_dim,
+                    use_linear=a.use_linear,
+                    use_contraction=not config.disable_scene_contraction,
+                    average_init_density=config.average_init_density,
+                    compute_dtype=dtype,
+                )
             if a.kind == "cp":
                 return CPDensityField(
                     aabb=self.aabb,
@@ -485,7 +501,13 @@ class ThermoNerfModel:
             # (reference parity, thermal_nerf_model.py:321-324).
             loss_dict["thermal"] = L.mse(outputs["thermal"], gt_thermal)
 
-        if cfg.mode == "concat" and cfg.camera_optimizer_mode != "off" and "camera_opt" in params:
+        # Camera-opt regularizer: added by concat (concat_nerfacto_model.py:232)
+        # AND rgb mode (ThermalNerfactoModel does not override get_loss_dict,
+        # so it inherits nerfstudio 1.1.5 NerfactoModel's, which calls
+        # camera_optimizer.get_loss_dict). ThermalNerfModel's own override
+        # omits it (thermal_nerf_model.py:277-326) — thermal-mode quirk kept.
+        has_camera_opt = cfg.camera_optimizer_mode != "off" and "camera_opt" in params
+        if cfg.mode in ("concat", "rgb") and has_camera_opt:
             loss_dict["camera_opt_regularizer"] = co.camera_opt_regularizer(
                 params["camera_opt"]
             )
@@ -493,6 +515,11 @@ class ThermoNerfModel:
         total = jnp.sum(jnp.stack(list(loss_dict.values())))
         metrics = dict(loss_dict)
         metrics["distortion"] = distortion
+        if has_camera_opt:
+            # Every mode logs these: get_metrics_dict is inherited from
+            # NerfactoModel (which calls camera_optimizer.get_metrics_dict)
+            # in all three reference models.
+            metrics.update(co.camera_opt_metrics(params["camera_opt"]))
         mse_rgb = L.mse(gt_blended, pred_rgb)
         metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(mse_rgb, 1e-12))
         return total, metrics

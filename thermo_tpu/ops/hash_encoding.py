@@ -279,8 +279,12 @@ def hash_encode(
             "per level by construction)"
         )
         # exact path: run the dense (collision-free) prefix levels as MXU
-        # einsum contractions — identical numerics, no per-corner
-        # gather/scatter traffic (see _dense_level_encode)
+        # einsum contractions — numerically equivalent within float rounding
+        # (the einsum accumulates in f32 at Precision.HIGHEST with a
+        # different summation order than the gather path's table-dtype
+        # accumulation; parity test holds at rtol 1e-5, and the gap will
+        # widen if bf16 tables land) and no per-corner gather/scatter
+        # traffic (see _dense_level_encode)
         nd = (
             _num_dense_matmul_levels(spec, p.shape[0])
             if not grad_corners and not j

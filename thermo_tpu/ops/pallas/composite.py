@@ -7,10 +7,11 @@ Dense [rays, samples] layout: rays ride the 8-sublane axis, samples the
 128-lane axis (S <= 128 for nerfacto's 48 final samples), so the cumulative
 ops vectorize along lanes.
 
-Used by the model when ``ModelConfig.use_pallas_composite`` is set; the
-plain-XLA path in ``thermo_tpu.ops.rendering`` remains the reference
-implementation (and the gradient path — this kernel is forward/inference
-only; training uses the XLA path where autodiff applies).
+NOT wired into the model: this kernel was measured 8.6x SLOWER than XLA's
+automatic fusion of the plain-XLA path in ``thermo_tpu.ops.rendering``
+(PERFORMANCE.md "Alternatives measured (and rejected)"), so the model always
+uses the XLA path. The kernel is kept, with its parity test, as the measured
+receipt for that rejection; it is forward-only (no autodiff).
 """
 
 from __future__ import annotations

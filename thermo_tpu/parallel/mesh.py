@@ -48,6 +48,38 @@ def data_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(devs, axis_names=("data",))
 
 
+def auto_mesh(
+    batch_size: int,
+    model_parallel: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Optional[Mesh]:
+    """Production-trainer mesh: all visible devices, or None on one device.
+
+    Used by the train CLI (scripts/train_eval.py) so ``thermo-tpu-train``
+    trains sharded whenever >1 chip is visible — the TPU-native counterpart
+    of the reference plumbing world_size through its pipeline
+    (pipeline_tracking.py:27-28) without ever using it.
+
+    ``model_parallel`` > 1 builds the 2-D ("data","model") mesh sharding the
+    [F, L*T] hash tables. The device count is trimmed (never padded) to the
+    largest multiple of ``model_parallel`` whose data axis divides
+    ``batch_size``, so the ray shards stay equal-sized.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    if n <= 1:
+        return None
+    mp = max(1, int(model_parallel))
+    use = n - (n % mp)
+    while use >= mp and batch_size % max(use // mp, 1):
+        use -= mp
+    if use <= 1:
+        return None
+    if mp > 1:
+        return data_model_mesh(mp, devs[:use])
+    return data_mesh(devs[:use])
+
+
 def data_model_mesh(
     model_axis: int, devices: Optional[Sequence[jax.Device]] = None
 ) -> Mesh:

@@ -39,6 +39,10 @@ class AblationParameters:
     # fixed iteration count — the fair comparison for throughput knobs that
     # trade per-step quality for step rate (VERDICT r2 weak #2).
     iso_seconds: float = 0.0
+    # synthetic scene variant: sphere | cold | multi (round-4 verdict item
+    # 5: promotion decisions must cite more than one scene). "cold" wires
+    # cold=True through training AND the inverted Otsu mask through eval.
+    scene_variant: str = "sphere"
 
 
 def main(params: AblationParameters) -> dict:
@@ -52,7 +56,9 @@ def main(params: AblationParameters) -> dict:
         num_train=params.num_train,
         num_eval=params.num_eval,
         size=params.image_size,
+        variant=params.scene_variant,
     )
+    cold = params.scene_variant == "cold"
 
     results: dict[str, dict] = {}
     for spec in params.variants.split(","):
@@ -81,6 +87,7 @@ def main(params: AblationParameters) -> dict:
             hash_fwd_corners=ff,
             hash_grad_levels=gl,
             max_seconds=params.iso_seconds if iso else None,
+            cold=cold,
         )
         exp_dir = te.main(run_params)
         metrics = json.loads(

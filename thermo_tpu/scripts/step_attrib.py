@@ -156,6 +156,23 @@ def main() -> None:
             ),
         ),
     }
+
+    # ---- round 4: triplane (K-planes) proposal fields — the non-separable
+    # matmul encoding targeting the CP quality ceiling (ops/triplane.py);
+    # FLOPs scale with rank * res^2, so sweep both.
+    def tri(res, rank):
+        return ProposalNetArgs(kind="triplane", max_res=res, rank=rank)
+
+    for name, (res1, res2, rank) in {
+        "prop_tri_64_128_k8": (64, 128, 8),
+        "prop_tri_128_192_k4": (128, 192, 4),
+        "prop_tri_128_192_k8": (128, 192, 8),
+        "prop_tri_128_256_k8": (128, 256, 8),
+        "prop_tri_128_192_k16": (128, 192, 16),
+    }.items():
+        variants[name] = dict(
+            proposal_net_args_list=(tri(res1, rank), tri(res2, rank))
+        )
     only = set(filter(None, args.variants.split(",")))
 
     for name, ov in variants.items():

@@ -71,6 +71,12 @@ class TrainingParameters:
     # wall-clock training budget in seconds (iso-wall-clock ablations);
     # stops training when exceeded, before max_num_iterations
     max_seconds: Optional[float] = None
+    # Multi-chip: the trainer automatically builds a ("data",) mesh over all
+    # visible devices (rays sharded, grads all-reduced over ICI by XLA);
+    # model_parallel > 1 upgrades it to ("data","model") sharding the hash
+    # tables too. --no-multichip forces single-device training.
+    multichip: bool = True
+    model_parallel: int = 1
 
 
 def modalities_for(model_type: ModelType) -> list[RenderedImageModality]:
@@ -137,12 +143,27 @@ def main(parameters: TrainingParameters) -> Path:
         )
         tracker.log_metrics({**log.metrics, "rays_per_sec": log.rays_per_sec}, log.step)
 
+    mesh = None
+    if parameters.multichip:
+        from thermo_tpu.parallel.mesh import auto_mesh
+
+        mesh = auto_mesh(
+            config.train_num_rays_per_batch, parameters.model_parallel
+        )
+        if mesh is not None:
+            print(
+                f"multichip: mesh {dict(mesh.shape)} over "
+                f"{mesh.devices.size} devices",
+                flush=True,
+            )
+
     trainer = Trainer(
         config,
         pipe.model,
         pipe.train_cameras,
         pipe.train_stack.images,
         pipe.train_stack.thermal,
+        mesh=mesh,
         log_fn=log_fn,
     )
 

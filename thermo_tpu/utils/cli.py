@@ -62,13 +62,38 @@ def _add_field(parser: argparse.ArgumentParser, f: dataclasses.Field) -> None:
         )
     elif tp in (int, float, str):
         parser.add_argument(name, dest=f.name, default=default, type=tp, help=help_text)
-    elif typing.get_origin(tp) in (list, tuple):
-        inner = (typing.get_args(tp) or (str,))[0]
+    elif typing.get_origin(tp) in (list, tuple) or tp in (list, tuple):
+        # typed (tuple[str, ...]) OR bare (``modalities: tuple``) sequence
+        # annotations: multi-value flag. Bare annotations infer the element
+        # type from the default's first element so ``--modalities thermal``
+        # yields ("thermal",), not the string "thermal" (round-3 CLI bug:
+        # bare tuple fell through to the untyped single-string branch and
+        # render_video then iterated the string's characters).
+        inner = (typing.get_args(tp) or (None,))[0]
+        if inner in (None, Ellipsis):
+            inner = type(default[0]) if isinstance(default, (list, tuple)) and default else str
+        if isinstance(inner, type) and issubclass(inner, enum.Enum):
+            elem_type = lambda s, tp=inner: tp(s)
+        else:
+            elem_type = inner
+        seq = tuple if (tp is tuple or typing.get_origin(tp) is tuple) else list
         parser.add_argument(
-            name, dest=f.name, default=default, type=inner, nargs="*", help=help_text
+            name, dest=f.name, default=default, type=elem_type, nargs="*",
+            action=_seq_action(seq), help=help_text,
         )
     else:
         parser.add_argument(name, dest=f.name, default=default, help=help_text)
+
+
+def _seq_action(seq: type):
+    """argparse action coercing the collected values to ``seq`` (tuple/list)
+    so dataclass fields annotated ``tuple`` get tuples back."""
+
+    class _Seq(argparse.Action):
+        def __call__(self, parser, namespace, values, option_string=None):
+            setattr(namespace, self.dest, seq(values))
+
+    return _Seq
 
 
 def parse_cli(cls: Type[T], args=None, description: Optional[str] = None) -> T:

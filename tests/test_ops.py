@@ -299,6 +299,57 @@ class TestRendering:
         out = np.asarray(render_thermal(thermal, w, train=False))
         assert np.all(out <= 1.0)
 
+    def test_packed_matches_dense(self):
+        """The packed-samples path (nerfacc.accumulate_along_rays
+        counterpart, rgbt_renderer.py:50-61) must agree with the dense
+        composite when the packing is a flattened dense layout — including
+        ragged packings (rays contributing different sample counts)."""
+        from thermo_tpu.ops.rendering import (
+            accumulate_packed,
+            render_rgbt,
+            render_rgbt_packed,
+        )
+
+        density, starts, ends = self._segs(R=3, S=6)
+        w = render_weights(density, starts, ends)
+        rgbt = jnp.asarray(
+            np.random.default_rng(6).uniform(size=(3, 6, 4)), jnp.float32
+        )
+        dense = np.asarray(render_rgbt(rgbt, w, train=True))
+        ray_idx = jnp.repeat(jnp.arange(3), 6)
+        packed = np.asarray(
+            render_rgbt_packed(
+                rgbt.reshape(-1, 4), w.reshape(-1), ray_idx, num_rays=3
+            )
+        )
+        np.testing.assert_allclose(packed, dense, rtol=1e-5, atol=1e-7)
+
+        # ragged packing: drop ray 1's last two samples (weight 0 there)
+        keep = np.ones((3, 6), bool)
+        keep[1, 4:] = False
+        w0 = np.asarray(w)[..., 0] * keep
+        packed_ragged = np.asarray(
+            accumulate_packed(
+                jnp.asarray(w0.reshape(-1)[keep.reshape(-1)]),
+                rgbt.reshape(-1, 4)[keep.reshape(-1)],
+                jnp.asarray(np.repeat(np.arange(3), 6)[keep.reshape(-1)]),
+                num_rays=3,
+            )
+        )
+        dense_masked = np.sum(
+            w0[..., None] * np.asarray(rgbt), axis=1
+        )
+        np.testing.assert_allclose(packed_ragged, dense_masked, rtol=1e-5, atol=1e-7)
+
+    def test_packed_last_sample_raises(self):
+        from thermo_tpu.ops.rendering import render_rgbt_packed
+
+        with np.testing.assert_raises(NotImplementedError):
+            render_rgbt_packed(
+                jnp.zeros((4, 4)), jnp.zeros((4,)), jnp.zeros((4,), jnp.int32),
+                num_rays=2, background="last_sample",
+            )
+
 
 class TestSamplers:
     def test_piecewise_spacing_roundtrip(self):

@@ -265,6 +265,26 @@ def thermal_nerf_tri_config() -> TrainerConfig:
     return cfg
 
 
+def thermal_nerf_tri4_config() -> TrainerConfig:
+    """Rank-4 probe of ``thermal-nerf-tri`` (same planes at half the
+    features/plane): the triplane matmul cost scales with rank x res^2, so
+    rank 4 trades encoding capacity for ~1.3-1.5x step rate. Kept as an
+    ablation point of the round-4 Pareto (outputs/qa_r4); promotion follows
+    the measured iso-wall-clock ordering, not the throughput number."""
+    import dataclasses
+
+    cfg = thermal_nerf_tri_config()
+    cfg.method_name = "thermal-nerf-tri4"
+    cfg.model = dataclasses.replace(
+        cfg.model,
+        proposal_net_args_list=(
+            ProposalNetArgs(kind="triplane", max_res=128, rank=4),
+            ProposalNetArgs(kind="triplane", max_res=192, rank=4),
+        ),
+    )
+    return cfg
+
+
 METHOD_CONFIGS = {
     "thermal-nerf": thermal_nerf_config,
     "nerfacto-track": thermalnerfacto_config,
@@ -275,4 +295,5 @@ METHOD_CONFIGS = {
     "thermal-nerf-cp": thermal_nerf_cp_config,
     "thermal-nerf-mid": thermal_nerf_mid_config,
     "thermal-nerf-tri": thermal_nerf_tri_config,
+    "thermal-nerf-tri4": thermal_nerf_tri4_config,
 }

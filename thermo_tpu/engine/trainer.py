@@ -474,6 +474,12 @@ class Trainer:
         use_thermal = model.config.mode in ("thermal", "concat")
         num_rays = self.config.eval_num_rays_per_batch
 
+        # NOTE: the eval-batch PSNR is computed on the raw eval-mode
+        # composite (no background blend) against the raw GT — the train
+        # loss path additionally applies blend_background_for_loss. For the
+        # opaque ThermoScenes GTs and the last_sample/none backgrounds used
+        # here the blend is the identity, so the numbers agree; stated for
+        # the record (round-3 review, weak #6).
         @jax.jit
         def eval_batch(params, rng, images, thermal, cams):
             k_img, k_y, k_x = jax.random.split(rng, 3)

@@ -177,7 +177,15 @@ def thermal_nerf_fast_config() -> TrainerConfig:
     rays/s post-warmup on v5e, 1.9x exact). The aggressive
     ``thermal-nerf-tpu`` knobs (CP proposals + 4x8 grid) are an order of
     magnitude faster still but did NOT win at iso-wall-clock; they remain
-    the throughput preset."""
+    the throughput preset.
+
+    Round-4 caveat (outputs/qa_r4): quality leadership is SCENE-DEPENDENT.
+    On the sphere scene these knobs beat exact again (19.30 dB / 0.057 vs
+    17.32 / 0.083 at iso-420s), but on the inverted COLD scene (warm
+    background, cold object) they LOSE 2.5 dB to exact (11.53 / 0.182 vs
+    13.99 / 0.141). ``thermal-nerf`` (exact) is the safe quality default on
+    unfamiliar data; this preset is the measured quality-per-wall-clock
+    winner on bright-object-on-dark-background content."""
     import dataclasses
 
     cfg = thermal_nerf_config()
@@ -241,16 +249,18 @@ def thermal_nerf_mid_config() -> TrainerConfig:
 
 
 def thermal_nerf_tri_config() -> TrainerConfig:
-    """Round-4 candidate: the full 16x2^19 grid and ff1gl2 estimator knobs
-    of ``thermal-nerf-fast`` with TRIPLANE (K-planes) proposal fields
-    instead of exact hash grids (ops/triplane.py — non-separable matmul
-    encoding, no gathers/scatters). The round-3 data isolated the fast
-    preset's ~445ms/step cost to its exact-trilinear hash proposals and the
-    tpu preset's quality ceiling to its separable CP proposals; triplane
-    proposals target both at once. Promotion to flagship requires the
-    round-4 iso-wall-clock ablation (scripts/quality_ablation.py) across
-    >= 3 scene variants; see PERFORMANCE.md round-4 tables for the measured
-    speed and quality."""
+    """Round-4 probe (measured, NOT promoted): the full 16x2^19 grid and
+    ff1gl2 estimator knobs of ``thermal-nerf-fast`` with TRIPLANE (K-planes)
+    proposal fields instead of exact hash grids (ops/triplane.py —
+    non-separable matmul encoding, no gathers/scatters, 34.1k rays/s = 4x
+    the fast preset). The round-4 iso-420s ablation (outputs/qa_r4/sphere)
+    measured thermal PSNR 17.58 / MAE 0.090 at ~3,800 steps vs 19.30 /
+    0.057 for ``thermal-nerf-fast`` at ~800 steps: even a NON-separable
+    matmul proposal encoding loses to exact-trilinear hash proposals at
+    iso-wall-clock — the proposal hierarchy's sample shaping, not its
+    encoding capacity class, is the binding quality factor. Kept as the
+    measured 34k-rays/s point of the Pareto; use ``thermal-nerf-fast`` for
+    quality, ``thermal-nerf-tpu`` for throughput."""
     import dataclasses
 
     cfg = thermal_nerf_fast_config()
@@ -268,9 +278,11 @@ def thermal_nerf_tri_config() -> TrainerConfig:
 def thermal_nerf_tri4_config() -> TrainerConfig:
     """Rank-4 probe of ``thermal-nerf-tri`` (same planes at half the
     features/plane): the triplane matmul cost scales with rank x res^2, so
-    rank 4 trades encoding capacity for ~1.3-1.5x step rate. Kept as an
-    ablation point of the round-4 Pareto (outputs/qa_r4); promotion follows
-    the measured iso-wall-clock ordering, not the throughput number."""
+    rank 4 trades encoding capacity for step rate. Measured iso-420s
+    (outputs/qa_r4/sphere): 16.63 dB thermal / 0.105 MAE — strictly worse
+    than rank 8 (17.58 / 0.090); triplane proposal quality is
+    capacity-limited below rank 8 AND structurally behind hash proposals
+    above it (see thermal_nerf_tri_config). Probe preset only."""
     import dataclasses
 
     cfg = thermal_nerf_tri_config()

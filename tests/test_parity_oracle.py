@@ -491,6 +491,189 @@ class TestLossOracle:
 
 
 # ----------------------------------------------------------------------
+# (e) FULL eval-mode forward: field + hierarchy + compositing vs torch
+# ----------------------------------------------------------------------
+def torch_contract_unit_cube(x):
+    """mipnerf-360 SceneContraction(order=inf) + nerfstudio (x+2)/4 remap."""
+    mag = torch.clamp(torch.amax(torch.abs(x), dim=-1, keepdim=True), min=1e-12)
+    contracted = (2.0 - 1.0 / mag) * (x / mag)
+    out = torch.where(mag <= 1.0, x, contracted)
+    return (out + 2.0) / 4.0
+
+
+def torch_sh4(d):
+    """Real SH basis, degree 4 (tcnn SphericalHarmonics constants)."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+    comps = [
+        torch.full_like(x, 0.28209479177387814),
+        0.4886025119029199 * y, 0.4886025119029199 * z, 0.4886025119029199 * x,
+        1.0925484305920792 * x * y, 1.0925484305920792 * y * z,
+        0.9461746957575601 * zz - 0.31539156525252005,
+        1.0925484305920792 * x * z, 0.5462742152960396 * (xx - yy),
+        0.5900435899266435 * y * (3.0 * xx - yy),
+        2.890611442640554 * x * y * z,
+        0.4570457994644658 * y * (5.0 * zz - 1.0),
+        0.3731763325901154 * z * (5.0 * zz - 3.0),
+        0.4570457994644658 * x * (5.0 * zz - 1.0),
+        1.445305721320277 * z * (xx - yy),
+        0.5900435899266435 * x * (xx - 3.0 * yy),
+    ]
+    return torch.stack(comps, dim=-1)
+
+
+def _t(x):
+    return torch.tensor(np.asarray(x, np.float32))
+
+
+def torch_mlp(params, x, relu_out=False, sigmoid_out=False):
+    """flax MLP oracle: kernels are [in, out], so y = x @ K + b."""
+    names = sorted(params.keys(), key=lambda n: int(n.split("_")[1]))
+    for i, name in enumerate(names):
+        x = x @ _t(params[name]["kernel"]) + _t(params[name]["bias"])
+        if i < len(names) - 1:
+            x = torch.relu(x)
+    if relu_out:
+        x = torch.relu(x)
+    if sigmoid_out:
+        x = torch.sigmoid(x)
+    return x
+
+
+class TestFullForwardOracle:
+    """Compose every component oracle into the COMPLETE eval-mode forward —
+    proposal hierarchy, shared field, RGB/thermal heads, compositing,
+    depths — and compare rendered pixel values against the jitted model.
+    The closest in-environment realization of the BASELINE.json "rendered
+    RGB/thermal images allclose vs the reference oracle" mandate."""
+
+    def _torch_density_field(self, prop_params, spec, positions):
+        """HashMLPDensityField oracle: contract -> hash encode -> MLP(2x, out 1)
+        -> trunc_exp -> in-bounds selector."""
+        p = torch_contract_unit_cube(positions)
+        selector = torch.all((p > 0.0) & (p < 1.0), dim=-1, keepdim=True)
+        p = p * selector
+        feats = torch_hash_encode(
+            _t(prop_params["HashEncoding_0"]["table"]), p.reshape(-1, 3), spec
+        ).reshape(*p.shape[:-1], spec.out_dim)
+        h = torch_mlp(prop_params["MLP_0"], feats)
+        return torch.exp(h) * selector
+
+    def test_full_eval_forward_matches(self):
+        import dataclasses as dc
+
+        from tests.test_model import AABB, TINY, _model, _rays
+        from thermo_tpu.ops.hash_encoding import HashGridSpec
+
+        m = _model()  # thermal mode, float32 compute, camera-opt SO3xR3
+        cfg = m.config
+        params = m.init_params(jax.random.PRNGKey(0))
+        rays = _rays(n=24)
+        out = m.forward(
+            params, rays, None, train=False, apply_camera_opt=False
+        )
+
+        # ---------------- torch replica ----------------
+        fields = params["fields"]
+        origins = _t(rays.origins)
+        dirs = _t(rays.directions)
+        R = origins.shape[0]
+        near = torch.full((R, 1), cfg.near_plane)
+        far = torch.full((R, 1), cfg.far_plane)
+
+        def spacing(t):
+            return torch.where(t < 1.0, t / 2.0, 1.0 - 1.0 / (2.0 * t))
+
+        def spacing_inv(s):
+            return torch.where(s < 0.5, 2.0 * s, 1.0 / (2.0 - 2.0 * s))
+
+        sn, sf = spacing(near), spacing(far)
+        prop_specs = [
+            HashGridSpec(
+                num_levels=a.num_levels, features_per_level=a.features_per_level,
+                log2_hashmap_size=a.log2_hashmap_size, base_res=a.base_res,
+                max_res=a.max_res,
+            )
+            for a in cfg.proposal_net_args_list
+        ]
+        counts = (*cfg.num_proposal_samples_per_ray, cfg.num_nerf_samples_per_ray)
+        sbins = torch.linspace(0, 1, counts[0] + 1).expand(R, counts[0] + 1)
+        for lvl, num in enumerate(counts):
+            if lvl > 0:
+                sbins = torch_sample_pdf_eval(sbins, w, num_samples=num)
+            tbins = spacing_inv(sbins * sf + (1 - sbins) * sn)
+            mids = (tbins[..., :-1] + tbins[..., 1:]) / 2.0
+            pos = origins[:, None, :] + dirs[:, None, :] * mids[..., None]
+            if lvl < len(prop_specs):
+                dens = self._torch_density_field(
+                    params["proposal_networks"][str(lvl)], prop_specs[lvl], pos
+                )
+                w = torch_render_weights(dens[..., 0], tbins)
+
+        # final field
+        spec = HashGridSpec(
+            num_levels=cfg.num_levels, features_per_level=cfg.features_per_level,
+            log2_hashmap_size=cfg.log2_hashmap_size, base_res=cfg.base_res,
+            max_res=cfg.max_res,
+        )
+        p = torch_contract_unit_cube(pos)
+        selector = torch.all((p > 0.0) & (p < 1.0), dim=-1, keepdim=True)
+        p = p * selector
+        feats = torch_hash_encode(
+            _t(fields["grid"]["table"]), p.reshape(-1, 3), spec
+        ).reshape(R, -1, spec.out_dim)
+        h = torch_mlp(fields["mlp_base"], feats)
+        density = torch.exp(h[..., :1]) * selector
+        geo = h[..., 1:]
+
+        dn = dirs / torch.linalg.norm(dirs, dim=-1, keepdim=True)
+        sh = torch_sh4(dn)[:, None, :].expand(R, pos.shape[1], 16)
+        emb_mean = _t(fields["embedding_appearance"]["embedding"]).mean(0)
+        emb = emb_mean.expand(R, pos.shape[1], emb_mean.shape[0])
+        head_in = torch.cat([sh, geo, emb], dim=-1)
+        rgb = torch_mlp(fields["mlp_head"], head_in, sigmoid_out=True)
+        t_feat = torch_mlp(fields["mlp_thermal"], geo, sigmoid_out=True)
+        thermal = t_feat @ _t(fields["thermal_head"]["kernel"]) + _t(
+            fields["thermal_head"]["bias"]
+        )
+
+        wf = torch_render_weights(density[..., 0], tbins)[..., None]
+        acc = wf.sum(dim=1)
+        comp_rgb = (wf * rgb).sum(dim=1) + rgb[:, -1, :] * (1 - acc)
+        comp_rgb = torch.clamp(torch.nan_to_num(comp_rgb), 0, 1)
+        comp_th = (wf * thermal).sum(dim=1) + thermal[:, -1, :] * (1 - acc)
+        comp_th = torch.clamp(torch.nan_to_num(comp_th), 0, 1)
+        mids_f = (tbins[..., :-1] + tbins[..., 1:]) / 2.0
+        cum = torch.cumsum(wf[..., 0], dim=-1)
+        idx = torch.clamp(
+            torch.searchsorted(cum.contiguous(), torch.full((R, 1), 0.5)),
+            max=cum.shape[-1] - 1,
+        )
+        med = torch.gather(mids_f, -1, idx)
+        expd = (wf[..., 0] * mids_f).sum(-1, keepdim=True) / (acc + 1e-10)
+        expd = torch.clamp(
+            expd, mids_f.min(-1, keepdim=True).values, mids_f.max(-1, keepdim=True).values
+        )
+
+        # ---------------- comparisons ----------------
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), comp_rgb.numpy(), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["thermal"]), comp_th.numpy(), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["accumulation"]), acc.numpy(), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["depth"]), med.numpy(), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["expected_depth"]), expd.numpy(), rtol=1e-4, atol=1e-4
+        )
+
+
+# ----------------------------------------------------------------------
 # (d) camera-optimizer exponential maps
 # ----------------------------------------------------------------------
 class TestExpMapOracle:

@@ -140,6 +140,12 @@ class TestShardedTraining:
         mesh3 = auto_mesh(batch_size=12)
         assert mesh3 is not None and mesh3.devices.size == 6
         assert auto_mesh(batch_size=64, devices=jax.devices()[:1]) is None
+        # an explicit model-parallel request that cannot be satisfied must
+        # raise, never silently fall back to fewer chips
+        with pytest.raises(ValueError):
+            auto_mesh(batch_size=64, model_parallel=16)
+        with pytest.raises(ValueError):
+            auto_mesh(batch_size=64, model_parallel=2, devices=jax.devices()[:1])
 
     def test_train_cli_builds_mesh_and_matches_unsharded(self, tmp_path, capsys):
         """The production `thermo-tpu-train` CLI (scripts/train_eval.main)

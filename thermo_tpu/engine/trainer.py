@@ -68,46 +68,25 @@ def create_train_state(
     return state, tx
 
 
-def make_train_step(
-    model: ThermoNerfModel,
-    tx: optax.GradientTransformation,
-    config: TrainerConfig,
-    mesh: Optional[Mesh] = None,
-) -> Callable:
-    """Build the jitted multi-step train function.
+def _make_one_step(model, tx, config, mesh):
+    """Shared optimizer-step body of both train-step builders.
 
-    Returns ``fn(state, images_u8, thermal_u8, cameras) -> (state, metrics)``
-    running ``config.steps_per_jit_loop`` optimizer steps per call, with
-    metrics averaged over the scanned steps. ``thermal_u8`` may be a
-    zero-size placeholder for the rgb mode.
+    Returns ``one_step(state, batch, cameras) -> (state, metrics)`` where
+    ``batch = (img, py, px, gt_rgb, gt_thermal)`` (gt_thermal may be None
+    for the rgb mode). Batch acquisition — device-side PRNG sampling vs
+    host-fed arrays — is the only difference between the builders.
     """
-    num_rays = config.train_num_rays_per_batch
     concat = model.config.mode == "concat"
-    use_thermal_gt = model.config.mode in ("thermal", "concat")
-    data_spec = P("data") if mesh is not None else None
 
     def shard(x):
-        if mesh is None:
+        if mesh is None or x is None:
             return x
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
 
-    def one_step(carry, _, images, thermal, cameras: Cameras):
-        state: TrainState = carry
-        rng, k_img, k_y, k_x, k_fwd, k_bg = jax.random.split(state.rng, 6)
-        n, h, w = images.shape[0], images.shape[1], images.shape[2]
-
-        img = jax.random.randint(k_img, (num_rays,), 0, n)
-        py = jax.random.randint(k_y, (num_rays,), 0, h)
-        px = jax.random.randint(k_x, (num_rays,), 0, w)
-        img, py, px = shard(img), shard(py), shard(px)
-
-        gt_rgb = images[img, py, px].astype(jnp.float32) / 255.0
-        gt_thermal = (
-            thermal[img, py, px].astype(jnp.float32) / 255.0
-            if use_thermal_gt
-            else None
-        )
+    def one_step(state: TrainState, batch, cameras: Cameras):
+        img, py, px, gt_rgb, gt_thermal = (shard(x) for x in batch)
+        rng, k_fwd, k_bg = jax.random.split(state.rng, 3)
         rays = generate_rays(cameras, img, py, px)
         rays = RayBundle(*(shard(r) for r in rays))
 
@@ -131,8 +110,7 @@ def make_train_step(
             gt = (
                 jnp.concatenate([gt_rgb, gt_thermal], axis=-1) if concat else gt_rgb
             )
-            total, metrics = model.losses(params, out, gt, gt_thermal, rng=k_bg)
-            return total, metrics
+            return model.losses(params, out, gt, gt_thermal, rng=k_bg)
 
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -152,10 +130,49 @@ def make_train_step(
         metrics["total_loss"] = total
         return new_state, metrics
 
+    return one_step, shard
+
+
+def make_train_step(
+    model: ThermoNerfModel,
+    tx: optax.GradientTransformation,
+    config: TrainerConfig,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Build the jitted multi-step train function.
+
+    Returns ``fn(state, images_u8, thermal_u8, cameras) -> (state, metrics)``
+    running ``config.steps_per_jit_loop`` optimizer steps per call, with
+    metrics averaged over the scanned steps. ``thermal_u8`` may be a
+    zero-size placeholder for the rgb mode.
+    """
+    num_rays = config.train_num_rays_per_batch
+    use_thermal_gt = model.config.mode in ("thermal", "concat")
+    one_step, shard = _make_one_step(model, tx, config, mesh)
+
+    def sampled_step(carry, _, images, thermal, cameras: Cameras):
+        state: TrainState = carry
+        # split off the sampling keys; one_step re-splits state.rng for the
+        # forward/background keys, so thread a fresh rng through the state
+        rng, k_img, k_y, k_x = jax.random.split(state.rng, 4)
+        n, h, w = images.shape[0], images.shape[1], images.shape[2]
+        img = jax.random.randint(k_img, (num_rays,), 0, n)
+        py = jax.random.randint(k_y, (num_rays,), 0, h)
+        px = jax.random.randint(k_x, (num_rays,), 0, w)
+        img, py, px = shard(img), shard(py), shard(px)
+        gt_rgb = images[img, py, px].astype(jnp.float32) / 255.0
+        gt_thermal = (
+            thermal[img, py, px].astype(jnp.float32) / 255.0
+            if use_thermal_gt
+            else None
+        )
+        state = dataclasses.replace(state, rng=rng)
+        return one_step(state, (img, py, px, gt_rgb, gt_thermal), cameras)
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_steps(state, images, thermal, cameras):
         step_fn = partial(
-            one_step, images=images, thermal=thermal, cameras=cameras
+            sampled_step, images=images, thermal=thermal, cameras=cameras
         )
         state, metrics = jax.lax.scan(
             step_fn, state, None, length=config.steps_per_jit_loop
@@ -180,60 +197,19 @@ def make_train_step_fed(
     (state, metrics)`` where the batch arrays have a leading
     ``steps_per_jit_loop`` axis and ``img`` holds GLOBAL camera indices.
     """
-    concat = model.config.mode == "concat"
+    one_step, _ = _make_one_step(model, tx, config, mesh)
     use_thermal_gt = model.config.mode in ("thermal", "concat")
 
-    def shard(x):
-        if mesh is None:
-            return x
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
-
-    def one_step(carry, xs, cameras: Cameras):
-        state: TrainState = carry
+    def fed_step(carry, xs, cameras: Cameras):
         img, py, px, gt_rgb, gt_thermal = xs
-        rng, k_fwd, k_bg = jax.random.split(state.rng, 3)
-        img, py, px = shard(img), shard(py), shard(px)
-        gt_rgb = shard(gt_rgb)
-        rays = generate_rays(cameras, img, py, px)
-        rays = RayBundle(*(shard(r) for r in rays))
-
-        sched = proposal_update_schedule(
-            state.step.astype(jnp.float32), model.sampler_cfg
-        )
-        updated = (state.steps_since_update.astype(jnp.float32) > sched) | (
-            state.step < 10
-        )
-        flag = updated.astype(jnp.float32)
-
-        def loss_fn(params):
-            out = model.forward(
-                params, rays, k_fwd,
-                step=state.step.astype(jnp.float32),
-                prop_grad_flag=flag, train=True,
-            )
-            gt_t = gt_thermal if use_thermal_gt else None
-            gt = jnp.concatenate([gt_rgb, gt_t], axis=-1) if concat else gt_rgb
-            return model.losses(params, out, gt, gt_t, rng=k_bg)
-
-        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_ssu = jnp.where(updated, 0, state.steps_since_update) + 1
-        new_state = TrainState(
-            params=params, opt_state=opt_state, step=state.step + 1,
-            steps_since_update=new_ssu, rng=rng,
-        )
-        metrics = dict(metrics)
-        metrics["total_loss"] = total
-        return new_state, metrics
+        if not use_thermal_gt:
+            gt_thermal = None
+        return one_step(carry, (img, py, px, gt_rgb, gt_thermal), cameras)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_steps(state, cameras, img, py, px, gt_rgb, gt_thermal):
         state, metrics = jax.lax.scan(
-            partial(one_step, cameras=cameras),
+            partial(fed_step, cameras=cameras),
             state,
             (img, py, px, gt_rgb, gt_thermal),
         )
@@ -337,8 +313,22 @@ class Trainer:
             if thermal_u8 is not None
             else np.zeros((*images_u8.shape[:3], 1), np.uint8)
         )
-        self.images = jnp.asarray(images_u8)
-        self.thermal = jnp.asarray(self._thermal_np)
+        if self.data_shards > 1:
+            # fed path: data stays host-side (numpy); keep 1-image device
+            # placeholders only to satisfy the train_steps call signature —
+            # uploading the full stacks would waste HBM for arrays the fed
+            # step never reads.
+            self.images = jnp.asarray(self._images_np[:1])
+            self.thermal = jnp.asarray(self._thermal_np[:1])
+            if local_shard is None:
+                assert self._images_np.shape[0] % self.data_shards == 0, (
+                    f"{self._images_np.shape[0]} images do not split evenly "
+                    f"into {self.data_shards} shards — the per-shard camera "
+                    "offsets would silently mis-index"
+                )
+        else:
+            self.images = jnp.asarray(images_u8)
+            self.thermal = jnp.asarray(self._thermal_np)
 
         rng = jax.random.PRNGKey(config.seed)
         self.state, self.tx = create_train_state(model, config, rng)
@@ -352,6 +342,7 @@ class Trainer:
             assert config.train_num_rays_per_batch % self.data_shards == 0
             self.train_steps_fed = make_train_step_fed(model, self.tx, config, mesh)
             self.train_steps = self._fed_train_steps
+            self._fed_step: Optional[int] = None  # host-side step mirror
         else:
             self.train_steps = make_train_step(model, self.tx, config, mesh)
         self.logs: list[TrainLog] = []
@@ -421,9 +412,17 @@ class Trainer:
     def _fed_train_steps(self, state, images, thermal, cameras):
         """train_steps-compatible wrapper over the fed step (host-side
         sampling). ``images``/``thermal`` args are ignored — data comes from
-        the host-local numpy shard."""
+        the host-local numpy shard. The step counter is mirrored host-side
+        (synced from the device once, then advanced by steps_per_jit_loop)
+        so batch sampling never blocks on the in-flight device loop — the
+        device fetch would otherwise serialize host sampling with compute.
+        The mirror is invalidated by ``restore`` (and lazily re-synced if
+        callers swap ``state`` externally with a different step)."""
         del images, thermal
-        batch = self._host_batches(int(state.step))
+        if self._fed_step is None:
+            self._fed_step = int(state.step)
+        batch = self._host_batches(self._fed_step)
+        self._fed_step += self.config.steps_per_jit_loop
         return self.train_steps_fed(state, cameras, *batch)
 
     @property
@@ -460,6 +459,8 @@ class Trainer:
                 else jax.random.fold_in(jax.random.PRNGKey(self.config.seed), 2)
             ),
         )
+        if self.data_shards > 1:
+            self._fed_step = None  # re-sync the host-side step mirror
 
     def set_eval_data(
         self,

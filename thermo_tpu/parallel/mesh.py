@@ -67,13 +67,28 @@ def auto_mesh(
     """
     devs = list(devices if devices is not None else jax.devices())
     n = len(devs)
-    if n <= 1:
-        return None
     mp = max(1, int(model_parallel))
+    if n <= 1:
+        if mp > 1:
+            # an explicit model-parallel request must not silently fall back
+            # to single-chip training
+            raise ValueError(
+                f"model_parallel={mp} requested but only {n} device visible"
+            )
+        return None
+    if mp > n:
+        raise ValueError(
+            f"model_parallel={mp} exceeds the {n} visible devices"
+        )
     use = n - (n % mp)
     while use >= mp and batch_size % max(use // mp, 1):
         use -= mp
-    if use <= 1:
+    if use <= 1 or (mp > 1 and use < mp):
+        if mp > 1:
+            raise ValueError(
+                f"model_parallel={mp} cannot be satisfied: no multiple of it "
+                f"within {n} devices divides batch_size={batch_size}"
+            )
         return None
     if mp > 1:
         return data_model_mesh(mp, devs[:use])

@@ -27,7 +27,10 @@ for attempt in $(seq 1 12); do
       break
     fi
   done
-  if ! kill -0 $PID 2>/dev/null && grep -q "training done" "$LOG"; then
+  # completion = THIS run's evaluator artifacts exist (a "training done"
+  # grep on the append-only log would match stale lines from prior runs)
+  if ! kill -0 $PID 2>/dev/null \
+      && [ -f outputs/qa_r4/longrun30k-fastps2/metrics/metrics.json ]; then
     echo "[babysitter] run completed" >> "$LOG"; exit 0
   fi
   kill -0 $PID 2>/dev/null || run

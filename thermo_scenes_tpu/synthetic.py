@@ -18,6 +18,16 @@ than one scene):
   * ``"multi"``  — three textured spheres (checker patterns, distinct
     sizes/positions/temperatures) plus a cool ground plane: multi-object
     occlusion and hierarchical sampling with several density modes.
+  * ``"rich"``   — DATA-RICH scene for non-overfit quality regimes (round-4
+    verdict item 1): six spheres with high-frequency checker textures on
+    BOTH modalities (8-12 angular bands, thermal checker-modulated so the
+    thermal field carries fine spatial detail, like real FLIR captures of
+    structured facades), a finely-checkered ground disk, flat background.
+    Meant to be generated at 100-200 train views / 256px, where the
+    24-view 128px scenes' overfit wall (outputs/qa_r4/iso1800) does not
+    bind inside an 1800 s budget.
+  * ``"coldrich"`` — the rich scene with INVERTED thermal polarity (cold
+    objects, warm background): the data-rich cold counterpart.
 """
 
 from __future__ import annotations
@@ -156,10 +166,91 @@ def render_multi(c2w: np.ndarray, h: int, w: int, f: float):
     ).astype(np.uint8)
 
 
+# (center, radius, base hue, thermal level) of the data-rich scene — six
+# spheres spread over the unit disk at varied sizes/heights so most views
+# see several objects with occlusion.
+_RICH_SPHERES = (
+    (np.array([0.40, 0.15, 0.02]), 0.30, np.array([0.90, 0.35, 0.20]), 0.95),
+    (np.array([-0.38, -0.02, -0.08]), 0.26, np.array([0.20, 0.50, 0.90]), 0.55),
+    (np.array([0.02, -0.45, 0.10]), 0.19, np.array([0.30, 0.90, 0.40]), 0.75),
+    (np.array([-0.05, 0.48, 0.22]), 0.16, np.array([0.95, 0.80, 0.25]), 0.85),
+    (np.array([0.55, -0.40, -0.12]), 0.14, np.array([0.70, 0.30, 0.85]), 0.45),
+    (np.array([-0.52, 0.38, -0.02]), 0.12, np.array([0.35, 0.85, 0.85]), 0.65),
+)
+
+
+def render_rich(c2w: np.ndarray, h: int, w: int, f: float, cold: bool = False):
+    """Data-rich scene: six spheres with HIGH-FREQUENCY checker textures on
+    both RGB and thermal (the thermal field carries fine detail, not flat
+    per-object levels), plus a finely-checkered warm ground disk.
+
+    ``cold=True`` inverts the thermal polarity (thermal := 1 - thermal):
+    objects become the LOW-temperature region on a warm background."""
+    dirs, o = _camera_dirs(c2w, h, w, f)
+    best_t = np.full(dirs.shape[:2], np.inf)
+    rgb = np.full((*dirs.shape[:2], 3), 1.0)
+    thermal = np.full(dirs.shape[:2], 0.08)
+
+    # ground disk z = -0.45, fine 8-per-unit checkers in both modalities
+    dz = dirs[..., 2]
+    tp = np.where(np.abs(dz) > 1e-8, (-0.45 - o[2]) / dz, np.inf)
+    tp = np.where(tp > 1e-6, tp, np.inf)
+    pp = o + dirs * np.where(np.isfinite(tp), tp, 0.0)[..., None]
+    in_disk = np.sum(pp[..., :2] ** 2, axis=-1) < 1.21
+    tp = np.where(in_disk, tp, np.inf)
+    pc = (np.floor(pp[..., 0] * 8) + np.floor(pp[..., 1] * 8)) % 2
+    plane_hit = tp < best_t
+    best_t = np.where(plane_hit, tp, best_t)
+    rgb = np.where(
+        plane_hit[..., None], (0.40 + 0.30 * pc)[..., None] * np.ones(3), rgb
+    )
+    thermal = np.where(plane_hit, 0.22 + 0.10 * pc, thermal)
+
+    for si, (center, radius, hue, temp) in enumerate(_RICH_SPHERES):
+        t = _intersect_sphere(o, dirs, center, radius)
+        closer = t < best_t
+        p = o + dirs * np.where(np.isfinite(t), t, 0.0)[..., None]
+        n = (p - center) / radius
+        bands = 8 + 2 * (si % 3)  # 8/10/12 angular bands per sphere
+        lat = np.arccos(np.clip(n[..., 2], -1, 1)) / math.pi
+        lon = np.arctan2(n[..., 1], n[..., 0]) / math.pi + 1.0
+        checker = (np.floor(bands * lat) + np.floor(bands * lon)) % 2
+        col = hue * (0.45 + 0.55 * checker[..., None]) * (
+            n[..., 2:3] * 0.25 + 0.75
+        )
+        # thermal: checker-modulated base + a hotspot toward +z — fine
+        # spatial structure in the THERMAL modality itself
+        spot = np.exp(-3.0 * np.sum((n - np.array([0.0, 0.0, 1.0])) ** 2, axis=-1))
+        th = temp * (0.55 + 0.30 * checker + 0.15 * spot)
+        best_t = np.where(closer, t, best_t)
+        rgb = np.where(closer[..., None], col, rgb)
+        thermal = np.where(closer, th, thermal)
+
+    if cold:
+        thermal = 1.0 - thermal
+    return (np.clip(rgb, 0, 1) * 255).astype(np.uint8), (
+        np.clip(thermal, 0, 1) * 255
+    ).astype(np.uint8)
+
+
+def render_sphere_inverted(c2w: np.ndarray, h: int, w: int, f: float):
+    """The sphere scene with ONLY the thermal polarity flipped
+    (thermal := 1 - thermal; RGB identical) — the round-5 mechanism probe
+    isolating "inverted thermal content" from the cold scene's other
+    differences (texture, contrast). If the stochastic estimators' cold
+    regression (outputs/qa_r4/cold) reproduces here, polarity is the
+    mechanism."""
+    rgb, th = render_sphere(c2w, h, w, f)
+    return rgb, (255 - th).astype(np.uint8)
+
+
 _VARIANTS = {
     "sphere": (render_sphere, False),
     "cold": (render_cold_sphere, True),
     "multi": (render_multi, False),
+    "rich": (render_rich, False),
+    "coldrich": (lambda c2w, h, w, f: render_rich(c2w, h, w, f, cold=True), True),
+    "sphereinv": (render_sphere_inverted, True),
 }
 
 
@@ -169,30 +260,48 @@ def make_synthetic_scene(
     num_eval: int = 2,
     size: int = 48,
     variant: str = "sphere",
+    interleave_eval: bool = False,
 ) -> Path:
     """Write a ThermoScenes-shaped dataset; returns the dataset root.
 
-    ``variant``: "sphere" | "cold" | "multi" (module docstring). The scene's
-    ``cold`` flag (whether the thermal foreground is the LOW-temperature
-    region, driving the inverted Otsu mask) is recorded in
-    temperature_bounds.json as ``"cold"`` for the callers that wire it into
-    evaluation.
+    ``variant``: "sphere" | "cold" | "multi" | "rich" | "coldrich" (module
+    docstring). The scene's ``cold`` flag (whether the thermal foreground is
+    the LOW-temperature region, driving the inverted Otsu mask) is recorded
+    in temperature_bounds.json as ``"cold"`` for the callers that wire it
+    into evaluation.
+
+    ``interleave_eval``: spread the eval views evenly over the camera ring
+    instead of clustering them at the tail — representative held-out views
+    for the data-rich regimes. The rich/coldrich variants also vary camera
+    height per view (low-discrepancy 0.618 sequence) so the ~150-view rigs
+    cover elevation, not just azimuth.
     """
     render_fn, is_cold = _VARIANTS[variant]
+    vary_height = variant in ("rich", "coldrich")
     root = Path(root)
     (root / "images").mkdir(parents=True, exist_ok=True)
     (root / "thermal").mkdir(parents=True, exist_ok=True)
     f = size * 1.2
     frames = []
     n_total = num_train + num_eval
+    eval_ids = (
+        set(round(k * n_total / num_eval) % n_total for k in range(num_eval))
+        if interleave_eval and num_eval
+        else set(range(num_train, n_total))
+    )
+    while interleave_eval and len(eval_ids) < num_eval:  # collision backfill
+        eval_ids.add((max(eval_ids) + 1) % n_total)
     for i in range(n_total):
         phase = 2 * math.pi * i / n_total
-        eye = np.array(
-            [1.6 * math.cos(phase), 1.6 * math.sin(phase), 0.7 + 0.2 * math.sin(3 * phase)]
+        z = (
+            0.40 + 0.65 * ((i * 0.618) % 1.0)
+            if vary_height
+            else 0.7 + 0.2 * math.sin(3 * phase)
         )
+        eye = np.array([1.6 * math.cos(phase), 1.6 * math.sin(phase), z])
         c2w = look_at_pose(eye, np.zeros(3))
         rgb, th = render_fn(c2w, size, size, f)
-        split = "train" if i < num_train else "eval"
+        split = "eval" if i in eval_ids else "train"
         name = f"frame_{split}_{i:05d}.png"
         Image.fromarray(rgb).save(root / "images" / name)
         Image.fromarray(th, mode="L").save(root / "thermal" / name)

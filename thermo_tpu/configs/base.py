@@ -49,6 +49,16 @@ class TrainerConfig:
     viewer_num_rays_per_chunk: int = 1 << 15
     steps_per_jit_loop: int = 10  # lax.scan'd steps per host dispatch
     seed: int = 42
+    # Late-training sample-count annealing (round-5): once step >=
+    # anneal_step, training switches to a second compiled step with the
+    # reduced per-ray sample counts below — the one traffic-cutting lever
+    # that touches no encoding (PERFORMANCE.md roadmap #6). The proposal
+    # hierarchy has localized the surfaces by then, so fewer samples carry
+    # the same signal at proportionally less gather/scatter traffic. Eval
+    # rendering keeps the full counts. 0 = off.
+    anneal_step: int = 0
+    anneal_proposal_samples: Optional[tuple[int, ...]] = None
+    anneal_nerf_samples: Optional[int] = None
     metrics_logging_frequency: float = 0.0075  # pipeline_tracking.py:16-17
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     dataparser: DataparserConfig = dataclasses.field(default_factory=DataparserConfig)
@@ -102,6 +112,8 @@ class TrainerConfig:
             for k, v in opt_d.items()
         }
         d["output_dir"] = Path(d["output_dir"])
+        if isinstance(d.get("anneal_proposal_samples"), list):
+            d["anneal_proposal_samples"] = tuple(d["anneal_proposal_samples"])
         return cls(
             model=ModelConfig(**model_d),
             dataparser=DataparserConfig(**dp_d),

@@ -297,6 +297,87 @@ def thermal_nerf_tri4_config() -> TrainerConfig:
     return cfg
 
 
+def thermal_nerf_f8_config() -> TrainerConfig:
+    """Round-5 lever (VERDICT r4 item 3): F8 LEVEL-PACKING of the proposal
+    hash grids. ``thermal-nerf-fast``'s step is ~93% exact-trilinear
+    proposal-field traffic (PERFORMANCE.md round-4 table: 476 ms/step, of
+    which ~420 ms is the two proposal encodes), and that traffic is priced
+    per ACCESS, not per byte: v5e gathers cost 9.8 ns for an F=2 row but
+    14.9 ns for an F=8 row — 1.9 ns/element vs 4.9 (true_microbench). So
+    the proposal ladders are re-packed at constant parameter count and
+    max_res into 2 levels x 8 features (vs 5 x 2): per-sample exact
+    trilinear cost drops from 40 row-gathers (mixed F2) to 16 F8-row
+    gathers, and the coarse (dense) level stays on the matmul path.
+
+    Deviation from the verdict's literal "groups of 4 levels share a hash":
+    equal-resolution hashed levels with distinct hash seeds are statistically
+    one level with wider features, so the packing is implemented as a
+    re-laddering (fewer, wider levels) rather than index-sharing between
+    unequal resolutions — unequal-resolution levels cannot share a gather
+    index without collapsing to the finest member's cells anyway. Numerics
+    change (the mid-ladder resolutions 27/45/76 disappear), so the preset is
+    quality-ablated like any estimator knob (outputs/qa_r5).
+
+    The FINAL field keeps the fast preset's full 16x2^19xF2 grid and ff1gl2
+    estimator knobs — the proposal repack is the only change, isolating it."""
+    import dataclasses
+
+    cfg = thermal_nerf_fast_config()
+    cfg.method_name = "thermal-nerf-f8"
+    cfg.model = dataclasses.replace(
+        cfg.model,
+        proposal_net_args_list=(
+            ProposalNetArgs(num_levels=2, features_per_level=8, max_res=128),
+            ProposalNetArgs(num_levels=2, features_per_level=8, max_res=256),
+        ),
+    )
+    return cfg
+
+
+def thermal_nerf_f8g_config() -> TrainerConfig:
+    """``thermal-nerf-f8`` with the FINAL grid also F8-packed: 4 levels x 8
+    features x 2^19 (the thermal-nerf-tpu grid — same parameter count and
+    out_dim 32 as nerfacto's 16x2). With the stochastic ff1gl2 estimators
+    the final grid is already cheap, so this probes the packed grid's
+    QUALITY at near-equal speed rather than buying throughput; round 3
+    indirectly cleared the 4x8 grid (cpfull vs tpu, outputs/qa_r3) — this
+    measures it directly."""
+    import dataclasses
+
+    cfg = thermal_nerf_f8_config()
+    cfg.method_name = "thermal-nerf-f8g"
+    cfg.model = dataclasses.replace(
+        cfg.model, num_levels=4, features_per_level=8
+    )
+    return cfg
+
+
+def thermal_nerf_e8_config() -> TrainerConfig:
+    """EXACT estimators (no stochastic knobs at all) with BOTH the proposal
+    and final grids F8-packed — the deterministic counterpart of
+    ``thermal-nerf-f8g``. Motivation: on cold/inverted scenes the
+    stochastic estimator knobs lose ~2.5 dB (outputs/qa_r4/cold) and exact
+    ``thermal-nerf`` is the quality default there, but its 899 ms step is
+    ~80% hashed-level per-access traffic; F8 packing cuts exact per-element
+    gather cost 2.6x and turns the 8-corner backward into column scatters
+    (41 ns/8-wide vs 8x10 ns scalar). Quality-ablated on the cold scenes in
+    outputs/qa_r5."""
+    import dataclasses
+
+    cfg = thermal_nerf_config()
+    cfg.method_name = "thermal-nerf-e8"
+    cfg.model = dataclasses.replace(
+        cfg.model,
+        num_levels=4,
+        features_per_level=8,
+        proposal_net_args_list=(
+            ProposalNetArgs(num_levels=2, features_per_level=8, max_res=128),
+            ProposalNetArgs(num_levels=2, features_per_level=8, max_res=256),
+        ),
+    )
+    return cfg
+
+
 METHOD_CONFIGS = {
     "thermal-nerf": thermal_nerf_config,
     "nerfacto-track": thermalnerfacto_config,
@@ -308,4 +389,7 @@ METHOD_CONFIGS = {
     "thermal-nerf-mid": thermal_nerf_mid_config,
     "thermal-nerf-tri": thermal_nerf_tri_config,
     "thermal-nerf-tri4": thermal_nerf_tri4_config,
+    "thermal-nerf-f8": thermal_nerf_f8_config,
+    "thermal-nerf-f8g": thermal_nerf_f8g_config,
+    "thermal-nerf-e8": thermal_nerf_e8_config,
 }

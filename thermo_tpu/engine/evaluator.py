@@ -148,6 +148,13 @@ class Evaluator:
             )
         return m, images
 
+    @property
+    def metrics(self) -> dict:
+        """Aggregated metrics of the last ``compute_metrics`` run: per-metric
+        ``<name>_mean`` / ``<name>_std`` floats plus the per-image lists
+        (reference evaluator.py:95-104 schema)."""
+        return self._metrics
+
     # ------------------------------------------------------------------
     def compute_metrics(self) -> dict:
         pipe = self.pipeline

@@ -345,7 +345,38 @@ class Trainer:
             self._fed_step: Optional[int] = None  # host-side step mirror
         else:
             self.train_steps = make_train_step(model, self.tx, config, mesh)
+        # Late-training sample-count annealing (config.anneal_step > 0): a
+        # SECOND jitted step over the same params pytree (sample counts do
+        # not touch any parameter shape) with reduced per-ray sample counts.
+        # Compiled lazily (or AOT-precompiled under a max_seconds budget so
+        # the mid-run switch costs no budget time — see train()).
+        self._annealed_steps: Optional[Callable] = None
+        if config.anneal_step:
+            assert self.data_shards == 1, (
+                "sample-count annealing is not wired into the host-fed "
+                "multi-host path"
+            )
+            mc = dataclasses.replace(
+                model.config,
+                num_proposal_samples_per_ray=(
+                    tuple(config.anneal_proposal_samples)
+                    if config.anneal_proposal_samples is not None
+                    else model.config.num_proposal_samples_per_ray
+                ),
+                num_nerf_samples_per_ray=(
+                    config.anneal_nerf_samples
+                    if config.anneal_nerf_samples is not None
+                    else model.config.num_nerf_samples_per_ray
+                ),
+            )
+            annealed_model = ThermoNerfModel(
+                mc, model.aabb, model.num_train_images
+            )
+            self._annealed_steps = make_train_step(
+                annealed_model, self.tx, config, mesh
+            )
         self.logs: list[TrainLog] = []
+        self.early_stop: Optional[dict] = None  # set when early stopping fires
         self._eval_batch_fn = None
         self._eval_data = None
 
@@ -524,6 +555,7 @@ class Trainer:
         max_iterations: Optional[int] = None,
         checkpoint_cb: Optional[Callable[[int, TrainState], None]] = None,
         max_seconds: Optional[float] = None,
+        early_stop_patience: int = 0,
     ) -> list[TrainLog]:
         """Drive the jitted loop.
 
@@ -538,6 +570,19 @@ class Trainer:
         (compile excluded — a one-off equal for all variants) and every call
         is synchronized with a host fetch so elapsed time tracks device
         progress, not the dispatch queue.
+
+        ``early_stop_patience``: stop when the eval-batch quality metric
+        (eval_thermal when present, else eval_rgb_loss) fails to improve for
+        this many CONSECUTIVE eval batches, restoring the best-seen params
+        (round-4 overfit wall: past the eval minimum, extra steps actively
+        hurt). Requires ``set_eval_data``. ``self.early_stop`` records the
+        stop/best step when it fires. 0 = off.
+
+        Sample-count annealing (config.anneal_step > 0): once host_step
+        crosses the threshold, the loop switches to the second compiled
+        step with reduced sample counts. Under a ``max_seconds`` budget the
+        annealed step is AOT-compiled BEFORE the budget clock starts, so
+        variants with and without annealing compare at iso device time.
         """
         cfg = self.config
         max_iters = max_iterations or cfg.max_num_iterations
@@ -551,9 +596,37 @@ class Trainer:
         sync_step = host_step
         pending_eval: dict[str, float] = {}
 
+        if early_stop_patience:
+            assert self._eval_batch_fn is not None, (
+                "early_stop_patience requires set_eval_data (the stopping "
+                "signal is the periodic eval batch)"
+            )
+        es_best = float("inf")
+        es_best_step = host_step
+        es_stale = 0
+        es_best_params = None
+
+        annealed_fn = self._annealed_steps
+        if (
+            annealed_fn is not None
+            and max_seconds is not None
+            and max_iters > cfg.anneal_step
+        ):
+            # AOT-compile so the mid-run switch costs no budget time; the
+            # compiled executable is called directly (the jit cache would
+            # not reuse an AOT compilation).
+            annealed_fn = annealed_fn.lower(
+                self.state, self.images, self.thermal, self.cameras
+            ).compile()
+
         budget_t0: Optional[float] = None
         while host_step < max_iters:
-            self.state, metrics = self.train_steps(
+            step_fn = (
+                annealed_fn
+                if annealed_fn is not None and host_step >= cfg.anneal_step
+                else self.train_steps
+            )
+            self.state, metrics = step_fn(
                 self.state, self.images, self.thermal, self.cameras
             )
             host_step += loop
@@ -582,6 +655,45 @@ class Trainer:
             if self._eval_batch_fn is not None and host_step >= next_eval:
                 pending_eval = self.run_eval_batch()
                 next_eval = host_step + cfg.steps_per_eval_batch
+                if early_stop_patience:
+                    es_key = (
+                        "eval_thermal"
+                        if "eval_thermal" in pending_eval
+                        else "eval_rgb_loss"
+                    )
+                    val = pending_eval[es_key]
+                    if val < es_best - 1e-12:
+                        es_best, es_best_step, es_stale = val, host_step, 0
+                        es_best_params = jax.tree_util.tree_map(
+                            jnp.copy, self.state.params
+                        )
+                    else:
+                        es_stale += 1
+                        if es_stale >= early_stop_patience:
+                            if es_best_params is not None:
+                                self.state = self.state.replace(
+                                    params=es_best_params
+                                )
+                            self.early_stop = {
+                                "stopped_at_step": host_step,
+                                "best_step": es_best_step,
+                                "metric": es_key,
+                                "best_value": es_best,
+                            }
+                            if checkpoint_cb is not None:
+                                checkpoint_cb(host_step, self.state)
+                            host_metrics = {
+                                k: float(v) for k, v in metrics.items()
+                            }
+                            host_metrics.update(pending_eval)
+                            self.logs.append(TrainLog(
+                                step=host_step,
+                                metrics=host_metrics,
+                                rays_per_sec=0.0,
+                            ))
+                            if self.log_fn is not None:
+                                self.log_fn(self.logs[-1])
+                            return self.logs
 
             if host_step >= next_log or host_step >= max_iters:
                 host_metrics = {k: float(v) for k, v in metrics.items()}  # sync

@@ -34,19 +34,25 @@ class AblationParameters:
     # e.g. "exact=0/0,tpu=1/0/0@thermal-nerf-tpu" ablates the full TPU
     # preset (CP proposals + stochastic knobs) against the exact baseline.
     variants: str = "exact=0/0,gc2=2/0,tpu=2/2"
+    # eval-batch cadence during training (the eval-loss TRAJECTORY is the
+    # overfit/non-overfit evidence; 250 costs a fast-stepping variant ~2%
+    # of a 420 s budget and gives slow variants >= 1 point per run)
+    steps_per_eval_batch: int = 250
     # iso-WALL-CLOCK mode: > 0 trains every variant for this many seconds
     # (post-compile device time, Trainer.train max_seconds) instead of a
     # fixed iteration count — the fair comparison for throughput knobs that
     # trade per-step quality for step rate (VERDICT r2 weak #2).
     iso_seconds: float = 0.0
-    # synthetic scene variant: sphere | cold | multi (round-4 verdict item
-    # 5: promotion decisions must cite more than one scene). "cold" wires
-    # cold=True through training AND the inverted Otsu mask through eval.
+    # synthetic scene variant: sphere | cold | multi | rich | coldrich
+    # (round-4 verdict item 5: promotion decisions must cite more than one
+    # scene; round-5 item 1: data-rich regimes). cold/coldrich wire
+    # cold=True through training AND the inverted Otsu mask through eval;
+    # rich/coldrich interleave the eval views over the camera ring.
     scene_variant: str = "sphere"
 
 
 def main(params: AblationParameters) -> dict:
-    from thermo_scenes_tpu.synthetic import make_synthetic_scene
+    from thermo_scenes_tpu.synthetic import _VARIANTS, make_synthetic_scene
     from thermo_tpu.scripts import train_eval as te
 
     out_root = Path(params.output)
@@ -57,8 +63,9 @@ def main(params: AblationParameters) -> dict:
         num_eval=params.num_eval,
         size=params.image_size,
         variant=params.scene_variant,
+        interleave_eval=params.scene_variant in ("rich", "coldrich"),
     )
-    cold = params.scene_variant == "cold"
+    cold = _VARIANTS[params.scene_variant][1]
 
     results: dict[str, dict] = {}
     for spec in params.variants.split(","):
@@ -88,6 +95,7 @@ def main(params: AblationParameters) -> dict:
             hash_grad_levels=gl,
             max_seconds=params.iso_seconds if iso else None,
             cold=cold,
+            steps_per_eval_batch=params.steps_per_eval_batch,
         )
         exp_dir = te.main(run_params)
         metrics = json.loads(

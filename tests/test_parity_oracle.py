@@ -523,6 +523,8 @@ def torch_sh4(d):
 
 
 def _t(x):
+    if isinstance(x, torch.Tensor):
+        return x
     return torch.tensor(np.asarray(x, np.float32))
 
 
@@ -710,3 +712,173 @@ class TestExpMapOracle:
         eye = np.broadcast_to(np.eye(3), R.shape)
         np.testing.assert_allclose(R @ np.swapaxes(R, -1, -2), eye, atol=1e-5)
         np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# (e) END-TO-END TRAIN-STEP GRADIENT ORACLE (round-5 verdict item 5)
+# ----------------------------------------------------------------------
+def _torch_tree(params):
+    """jax param pytree -> torch tensors with requires_grad (leaves f32)."""
+    if isinstance(params, dict):
+        return {k: _torch_tree(v) for k, v in params.items()}
+    return torch.tensor(np.asarray(params, np.float32), requires_grad=True)
+
+
+def _compare_grad_trees(jax_tree, torch_tree, path="", rtol=1e-4, atol=1e-7):
+    if isinstance(jax_tree, dict):
+        assert set(jax_tree) == set(torch_tree), (path, jax_tree.keys())
+        for k in jax_tree:
+            _compare_grad_trees(
+                jax_tree[k], torch_tree[k], f"{path}/{k}", rtol, atol
+            )
+        return
+    g = torch_tree.grad
+    assert g is not None, f"no torch grad at {path}"
+    np.testing.assert_allclose(
+        np.asarray(jax_tree), g.numpy(), rtol=rtol, atol=atol,
+        err_msg=f"grad mismatch at {path}",
+    )
+
+
+class TestTrainStepGradientOracle:
+    """fp32 END-TO-END gradient parity of the full TRAIN chain — proposal
+    hierarchy -> shared field (hash encode + MLPs + heads) -> last_sample
+    composites -> rgb MSE + thermal MSE + interlevel + distortion — grads
+    w.r.t. EVERY parameter (hash tables, MLPs, heads, appearance embedding,
+    proposal nets) against an independent torch autograd replica.
+
+    Reference binding: the whole of thermal_nerf_model.py get_outputs
+    :210-275 + get_loss_dict :277-326 (BASELINE.json "pixel gradients
+    allclose vs the reference oracle").
+
+    Determinism: rng=None disables ray jitter (samplers fall back to the
+    centered deterministic u — ops/samplers.py:165-170), step=2000 puts the
+    proposal weight anneal at its converged exponent 1.0, and
+    prop_grad_flag=1.0 opens the proposal-update gradient gate, so both
+    sides see identical sample positions.
+
+    Documented divergences (module docstring): f32 CPU vs jax reduction
+    orders (incl. the dense-level einsum at Precision.HIGHEST) -> rtol 1e-4
+    with atol 1e-7 (hash-table grads are sparse rows of magnitude ~1e-3);
+    the resampled sbins are stop_gradient'ed on both sides (the reference's
+    searchsorted-based sampling has no useful reparameterized gradient —
+    proposal nets learn through the interlevel loss, as in nerfacto).
+    """
+
+    def test_train_step_param_gradients_match(self):
+        from tests.test_model import _model, _rays
+        from thermo_tpu.ops.hash_encoding import HashGridSpec
+
+        n_rays = 32
+        m = _model(camera_optimizer_mode="off")
+        cfg = m.config
+        params = m.init_params(jax.random.PRNGKey(3))
+        rays = _rays(n=n_rays, seed=5)
+        kg = jax.random.PRNGKey(7)
+        gt_rgb = jax.random.uniform(kg, (n_rays, 3))
+        gt_th = jax.random.uniform(jax.random.fold_in(kg, 1), (n_rays, 1))
+
+        def loss_fn(p):
+            out = m.forward(
+                p, rays, None, step=2000.0, prop_grad_flag=1.0, train=True
+            )
+            total, _ = m.losses(p, out, gt_rgb, gt_th, rng=None)
+            return total
+
+        total_jax, grads = jax.value_and_grad(loss_fn)(params)
+
+        # ---------------- torch autograd replica ----------------
+        tp = _torch_tree(params)
+        origins = _t(rays.origins)
+        dirs = _t(rays.directions)
+        cam_idx = torch.tensor(np.asarray(rays.camera_indices), dtype=torch.long)
+        R = n_rays
+        near = torch.full((R, 1), cfg.near_plane)
+        far = torch.full((R, 1), cfg.far_plane)
+
+        def spacing(t):
+            return torch.where(t < 1.0, t / 2.0, 1.0 - 1.0 / (2.0 * t))
+
+        def spacing_inv(s):
+            return torch.where(s < 0.5, 2.0 * s, 1.0 / (2.0 - 2.0 * s))
+
+        sn, sf = spacing(near), spacing(far)
+        prop_specs = [
+            HashGridSpec(
+                num_levels=a.num_levels, features_per_level=a.features_per_level,
+                log2_hashmap_size=a.log2_hashmap_size, base_res=a.base_res,
+                max_res=a.max_res,
+            )
+            for a in cfg.proposal_net_args_list
+        ]
+        counts = (*cfg.num_proposal_samples_per_ray, cfg.num_nerf_samples_per_ray)
+        oracle = TestFullForwardOracle()
+        prop_sbins, prop_w = [], []
+        sbins = torch.linspace(0, 1, counts[0] + 1).expand(R, counts[0] + 1)
+        for lvl, num in enumerate(counts):
+            if lvl > 0:
+                # anneal exponent is 1.0 at step 2000; resampled bins are
+                # stop_gradient'ed (ops/samplers.py:185)
+                sbins = torch_sample_pdf_eval(sbins, w, num_samples=num).detach()
+            tbins = spacing_inv(sbins * sf + (1 - sbins) * sn)
+            mids = (tbins[..., :-1] + tbins[..., 1:]) / 2.0
+            pos = origins[:, None, :] + dirs[:, None, :] * mids[..., None]
+            if lvl < len(prop_specs):
+                dens = oracle._torch_density_field(
+                    tp["proposal_networks"][str(lvl)], prop_specs[lvl], pos
+                )
+                w = torch_render_weights(dens[..., 0], tbins)
+                prop_sbins.append(sbins)
+                prop_w.append(w)
+
+        # final field (TRAIN mode: per-camera appearance embedding)
+        fields = tp["fields"]
+        spec = HashGridSpec(
+            num_levels=cfg.num_levels, features_per_level=cfg.features_per_level,
+            log2_hashmap_size=cfg.log2_hashmap_size, base_res=cfg.base_res,
+            max_res=cfg.max_res,
+        )
+        p = torch_contract_unit_cube(pos)
+        selector = torch.all((p > 0.0) & (p < 1.0), dim=-1, keepdim=True)
+        p = p * selector
+        feats = torch_hash_encode(
+            fields["grid"]["table"], p.reshape(-1, 3), spec
+        ).reshape(R, -1, spec.out_dim)
+        h = torch_mlp(fields["mlp_base"], feats)
+        density = torch.exp(h[..., :1]) * selector
+        geo = h[..., 1:]
+
+        dn = dirs / torch.linalg.norm(dirs, dim=-1, keepdim=True)
+        sh = torch_sh4(dn)[:, None, :].expand(R, pos.shape[1], 16)
+        emb = fields["embedding_appearance"]["embedding"][cam_idx]  # [R, E]
+        emb = emb[:, None, :].expand(R, pos.shape[1], emb.shape[-1])
+        head_in = torch.cat([sh, geo, emb], dim=-1)
+        rgb = torch_mlp(fields["mlp_head"], head_in, sigmoid_out=True)
+        t_feat = torch_mlp(fields["mlp_thermal"], geo, sigmoid_out=True)
+        thermal = t_feat @ fields["thermal_head"]["kernel"] + (
+            fields["thermal_head"]["bias"]
+        )
+
+        # train composites: last_sample background, NO clamp / nan_to_num
+        wf = torch_render_weights(density[..., 0], tbins)[..., None]
+        acc = wf.sum(dim=1)
+        comp_rgb = (wf * rgb).sum(dim=1) + rgb[:, -1, :] * (1 - acc)
+        comp_th = (wf * thermal).sum(dim=1) + thermal[:, -1, :] * (1 - acc)
+
+        # losses (get_loss_dict :277-326: unweighted thermal MSE quirk)
+        gt_rgb_t = _t(gt_rgb)
+        gt_th_t = _t(gt_th)
+        rgb_loss = torch.mean((gt_rgb_t - comp_rgb) ** 2)
+        interlevel = cfg.interlevel_loss_mult * torch_interlevel(
+            sbins, wf[..., 0], prop_sbins, prop_w
+        )
+        distortion = cfg.distortion_loss_mult * torch_distortion(sbins, wf[..., 0])
+        thermal_loss = torch.mean((comp_th - gt_th_t) ** 2)
+        total = rgb_loss + interlevel + distortion + thermal_loss
+
+        np.testing.assert_allclose(
+            float(total_jax), total.item(), rtol=1e-5,
+            err_msg="total train loss mismatch",
+        )
+        total.backward()
+        _compare_grad_trees(grads, tp)

@@ -1,0 +1,288 @@
+"""Round-5 feature tests: early stopping (restore-best), sample-count
+annealing, the cold-scene CLI guard, the F8-packed presets, and the
+data-rich synthetic scene variants."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from thermo_scenes_tpu.synthetic import make_synthetic_scene
+from thermo_tpu.configs.methods import (
+    METHOD_CONFIGS,
+    thermal_nerf_e8_config,
+    thermal_nerf_f8_config,
+    thermal_nerf_f8g_config,
+    thermal_nerf_fast_config,
+    thermal_nerf_tiny_config,
+)
+from thermo_tpu.engine.pipeline import build_pipeline
+from thermo_tpu.engine.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    return make_synthetic_scene(tmp_path_factory.mktemp("scene"), size=32)
+
+
+def _tiny_config(scene, out_dir, **trainer_overrides):
+    cfg = thermal_nerf_tiny_config()
+    cfg.dataparser.data = scene
+    cfg.output_dir = out_dir
+    cfg.experiment_name = "r5"
+    cfg.max_num_iterations = 40
+    cfg.train_num_rays_per_batch = 128
+    cfg.eval_num_rays_per_batch = 128
+    cfg.steps_per_jit_loop = 10
+    cfg.metrics_logging_frequency = 0.1
+    cfg.model = dataclasses.replace(
+        cfg.model,
+        num_levels=4, max_res=64, log2_hashmap_size=11,
+        num_proposal_samples_per_ray=(24, 12), num_nerf_samples_per_ray=8,
+        far_plane=6.0,
+    )
+    for k, v in trainer_overrides.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+class TestEarlyStopping:
+    def test_scripted_early_stop_restores_best(self, scene, tmp_path):
+        """Deterministic early-stop logic check: scripted eval metrics
+        (improve, improve, stale, stale) with patience 2 must stop at the
+        second stale eval and restore the params snapshotted at the best."""
+        cfg = _tiny_config(scene, tmp_path, steps_per_eval_batch=10)
+        cfg.max_num_iterations = 200
+        pipe = build_pipeline(cfg)
+        trainer = Trainer(
+            cfg, pipe.model, pipe.train_cameras,
+            pipe.train_stack.images, pipe.train_stack.thermal,
+        )
+        script = iter([1.0, 0.5, 0.7, 0.8, 0.9, 0.9])
+        snapshots = {}
+
+        def fake_eval():
+            val = next(script)
+            snapshots[val] = np.asarray(
+                trainer.state.params["fields"]["grid"]["table"]
+            ).copy()
+            return {"eval_thermal": val, "eval_rgb_loss": val}
+
+        trainer._eval_batch_fn = object()  # satisfies the guard
+        trainer.run_eval_batch = fake_eval
+
+        logs = trainer.train(early_stop_patience=2)
+        assert trainer.early_stop is not None
+        assert trainer.early_stop["best_step"] == 20
+        assert trainer.early_stop["stopped_at_step"] == 40
+        assert trainer.early_stop["metric"] == "eval_thermal"
+        assert trainer.early_stop["best_value"] == 0.5
+        # params restored to the snapshot taken at the 0.5 eval
+        np.testing.assert_array_equal(
+            np.asarray(trainer.state.params["fields"]["grid"]["table"]),
+            snapshots[0.5],
+        )
+        assert logs[-1].step == 40
+
+    def test_no_eval_data_asserts(self, scene, tmp_path):
+        cfg = _tiny_config(scene, tmp_path)
+        pipe = build_pipeline(cfg)
+        trainer = Trainer(
+            cfg, pipe.model, pipe.train_cameras,
+            pipe.train_stack.images, pipe.train_stack.thermal,
+        )
+        with pytest.raises(AssertionError, match="set_eval_data"):
+            trainer.train(early_stop_patience=1)
+
+
+class TestSampleAnnealing:
+    def test_annealed_training_runs(self, scene, tmp_path):
+        cfg = _tiny_config(
+            scene, tmp_path,
+            anneal_step=20,
+            anneal_proposal_samples=(12, 6),
+            anneal_nerf_samples=4,
+        )
+        pipe = build_pipeline(cfg)
+        trainer = Trainer(
+            cfg, pipe.model, pipe.train_cameras,
+            pipe.train_stack.images, pipe.train_stack.thermal,
+        )
+        assert trainer._annealed_steps is not None
+        logs = trainer.train()
+        assert logs[-1].step == 40
+        assert np.isfinite(logs[-1].metrics["total_loss"])
+
+    def test_annealed_aot_precompile_under_budget(self, scene, tmp_path):
+        """max_seconds triggers the AOT precompile of the annealed step; the
+        mid-run switch must then execute through the compiled executable."""
+        cfg = _tiny_config(
+            scene, tmp_path,
+            anneal_step=20,
+            anneal_proposal_samples=(12, 6),
+            anneal_nerf_samples=4,
+        )
+        pipe = build_pipeline(cfg)
+        trainer = Trainer(
+            cfg, pipe.model, pipe.train_cameras,
+            pipe.train_stack.images, pipe.train_stack.thermal,
+        )
+        logs = trainer.train(max_seconds=600.0)  # budget never binds at 40 iters
+        assert logs[-1].step == 40
+        assert np.isfinite(logs[-1].metrics["total_loss"])
+
+    def test_anneal_config_json_roundtrip(self, scene, tmp_path):
+        from thermo_tpu.configs.base import TrainerConfig
+
+        cfg = _tiny_config(
+            scene, tmp_path, anneal_step=100,
+            anneal_proposal_samples=(64, 32), anneal_nerf_samples=16,
+        )
+        cfg2 = TrainerConfig.from_json(cfg.to_json())
+        assert cfg2.anneal_step == 100
+        assert cfg2.anneal_proposal_samples == (64, 32)
+        assert cfg2.anneal_nerf_samples == 16
+
+
+class TestColdGuard:
+    def _cfg(self, **model_overrides):
+        cfg = thermal_nerf_tiny_config()
+        cfg.model = dataclasses.replace(cfg.model, **model_overrides)
+        return cfg
+
+    def test_warns_on_cold_with_stochastic_knobs(self):
+        from thermo_tpu.scripts.train_eval import apply_cold_guard
+
+        cfg = self._cfg(cold=True, hash_fwd_corners=1, hash_grad_levels=2)
+        with pytest.warns(UserWarning, match="2.5 dB"):
+            cfg = apply_cold_guard(cfg, cold_safe=False)
+        # warn-only: knobs unchanged so measurement runs still reproduce
+        assert cfg.model.hash_fwd_corners == 1
+
+    def test_cold_safe_substitutes_exact_knobs(self):
+        from thermo_tpu.scripts.train_eval import apply_cold_guard
+
+        cfg = self._cfg(cold=True, hash_fwd_corners=1, hash_grad_levels=2,
+                        proposal_fwd_corners=2)
+        cfg = apply_cold_guard(cfg, cold_safe=True)
+        assert cfg.model.hash_fwd_corners == 0
+        assert cfg.model.hash_grad_levels == 0
+        assert cfg.model.proposal_fwd_corners == 0
+
+    def test_silent_when_not_cold_or_exact(self):
+        import warnings as w
+
+        from thermo_tpu.scripts.train_eval import apply_cold_guard
+
+        for cfg in (self._cfg(cold=False, hash_fwd_corners=1),
+                    self._cfg(cold=True)):
+            with w.catch_warnings():
+                w.simplefilter("error")
+                apply_cold_guard(cfg, cold_safe=False)
+
+
+class TestF8Presets:
+    def test_f8_packs_proposals_only(self):
+        fast, f8 = thermal_nerf_fast_config(), thermal_nerf_f8_config()
+        for args in f8.model.proposal_net_args_list:
+            assert args.num_levels == 2 and args.features_per_level == 8
+        # final grid identical to fast (the repack is isolated)
+        assert f8.model.num_levels == fast.model.num_levels
+        assert f8.model.features_per_level == fast.model.features_per_level
+        assert f8.model.hash_fwd_corners == fast.model.hash_fwd_corners
+        assert f8.model.hash_grad_levels == fast.model.hash_grad_levels
+
+    def test_f8g_final_grid_constant_params(self):
+        fast, f8g = thermal_nerf_fast_config(), thermal_nerf_f8g_config()
+        elems = lambda m: (
+            m.num_levels * (1 << m.log2_hashmap_size) * m.features_per_level
+        )
+        assert elems(f8g.model) == elems(fast.model)
+        assert f8g.model.num_levels * f8g.model.features_per_level == (
+            fast.model.num_levels * fast.model.features_per_level
+        )  # same out_dim
+
+    def test_e8_is_exact(self):
+        e8 = thermal_nerf_e8_config()
+        assert e8.model.hash_fwd_corners == 0
+        assert e8.model.hash_grad_corners == 0
+        assert e8.model.hash_grad_levels == 0
+        assert e8.model.proposal_fwd_corners == 0
+
+    def test_presets_registered(self):
+        for name in ("thermal-nerf-f8", "thermal-nerf-f8g", "thermal-nerf-e8"):
+            assert name in METHOD_CONFIGS
+
+    def test_f8_packed_proposals_train_end_to_end(self, scene, tmp_path):
+        """Tiny F8-packed proposal grids train on CPU — exercises the
+        F>=8 row-scatter backward path (_scatter_scalar_fused) end-to-end."""
+        from thermo_tpu.models.thermal_nerf import ProposalNetArgs
+
+        cfg = _tiny_config(scene, tmp_path)
+        cfg.model = dataclasses.replace(
+            cfg.model,
+            proposal_net_args_list=(
+                ProposalNetArgs(num_levels=2, features_per_level=8,
+                                max_res=33, log2_hashmap_size=9, hidden_dim=8),
+                ProposalNetArgs(num_levels=2, features_per_level=8,
+                                max_res=65, log2_hashmap_size=9, hidden_dim=8),
+            ),
+        )
+        pipe = build_pipeline(cfg)
+        trainer = Trainer(
+            cfg, pipe.model, pipe.train_cameras,
+            pipe.train_stack.images, pipe.train_stack.thermal,
+        )
+        logs = trainer.train()
+        losses = [l.metrics["total_loss"] for l in logs]
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+
+class TestRichScenes:
+    def test_rich_interleaved_eval(self, tmp_path):
+        root = make_synthetic_scene(
+            tmp_path / "rich", num_train=12, num_eval=4, size=32,
+            variant="rich", interleave_eval=True,
+        )
+        meta = json.loads((root / "transforms.json").read_text())
+        eval_ids = sorted(
+            int(f["file_path"][-9:-4])
+            for f in meta["frames"] if "eval" in f["file_path"]
+        )
+        assert len(eval_ids) == 4
+        # spread over the ring, not clustered at the tail
+        assert eval_ids[0] < 4 and eval_ids[-1] >= 12 - 4 + 1 or (
+            max(np.diff(eval_ids)) <= 12 // 2
+        )
+        bounds = json.loads((root / "temperature_bounds.json").read_text())
+        assert bounds["cold"] is False
+
+    def test_coldrich_is_cold(self, tmp_path):
+        root = make_synthetic_scene(
+            tmp_path / "cr", num_train=4, num_eval=2, size=32,
+            variant="coldrich",
+        )
+        bounds = json.loads((root / "temperature_bounds.json").read_text())
+        assert bounds["cold"] is True
+
+    def test_sphereinv_is_polarity_flip(self):
+        from thermo_scenes_tpu.synthetic import (
+            look_at_pose, render_sphere, render_sphere_inverted,
+        )
+
+        c2w = look_at_pose(np.array([1.6, 0.0, 0.7]), np.zeros(3))
+        rgb_a, th_a = render_sphere(c2w, 32, 32, 38.4)
+        rgb_b, th_b = render_sphere_inverted(c2w, 32, 32, 38.4)
+        np.testing.assert_array_equal(rgb_a, rgb_b)
+        np.testing.assert_array_equal(th_b, 255 - th_a)
+
+
+class TestEvaluatorMetricsProperty:
+    def test_property_exposes_aggregates(self):
+        from thermo_tpu.engine.evaluator import Evaluator
+
+        ev = object.__new__(Evaluator)
+        ev._metrics = {"psnr_mean": 1.0}
+        assert ev.metrics == {"psnr_mean": 1.0}

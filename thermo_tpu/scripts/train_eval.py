@@ -92,6 +92,52 @@ class TrainingParameters:
     model_parallel: int = 1
 
 
+def apply_cold_guard(config, cold_safe: bool = False):
+    """Cold-scene guard (round-5 verdict item 4): the stochastic estimator
+    knobs compound super-additively on inverted scenes — measured -2.46 dB
+    thermal PSNR at iso-420s on the cold scene (outputs/qa_r4/cold +
+    coldprobe: ff1 alone -0.88 dB, grad subsampling alone -0.79 dB; the
+    sphereinv polarity probe in outputs/qa_r5 isolates inverted content as
+    the mechanism). With ``cold_safe`` the knobs are zeroed (exact
+    estimators); otherwise a hard warning is emitted and the config is
+    returned unchanged (measurement runs must stay able to reproduce the
+    regression)."""
+    stochastic_knobs = {
+        k: getattr(config.model, k)
+        for k in (
+            "hash_fwd_corners", "hash_grad_corners",
+            "hash_grad_levels", "proposal_fwd_corners",
+        )
+        if getattr(config.model, k)
+    }
+    if not (config.model.cold and stochastic_knobs):
+        return config
+    if cold_safe:
+        config.model = dataclasses.replace(
+            config.model, **{k: 0 for k in stochastic_knobs}
+        )
+        print(
+            "cold-safe: substituted exact estimator knobs for "
+            f"{sorted(stochastic_knobs)} (stochastic estimators lose "
+            "~2.5 dB thermal PSNR on cold/inverted scenes, "
+            "outputs/qa_r4/cold)",
+            flush=True,
+        )
+    else:
+        import warnings
+
+        warnings.warn(
+            "cold=True with stochastic estimator knobs "
+            f"{stochastic_knobs}: these knobs measurably lose ~2.5 dB "
+            "thermal PSNR on inverted (cold) scenes at iso-wall-clock "
+            "(outputs/qa_r4/cold — fast 11.53 dB vs exact 13.99 dB). "
+            "Use --method thermal-nerf (exact) on cold scenes, or pass "
+            "--cold-safe to auto-substitute the exact knobs.",
+            stacklevel=2,
+        )
+    return config
+
+
 def modalities_for(model_type: ModelType) -> list[RenderedImageModality]:
     if model_type == ModelType.THERMONERF:
         return [
@@ -141,42 +187,7 @@ def main(parameters: TrainingParameters) -> Path:
     if parameters.steps_per_eval_batch is not None:
         config.steps_per_eval_batch = parameters.steps_per_eval_batch
 
-    # Cold-scene guard (round-5 verdict item 4): the stochastic estimator
-    # knobs compound super-additively on inverted scenes — measured -2.46 dB
-    # thermal PSNR at iso-420s on the cold scene (outputs/qa_r4/cold +
-    # coldprobe: ff1 alone -0.88 dB, grad subsampling alone -0.79 dB).
-    stochastic_knobs = {
-        k: getattr(config.model, k)
-        for k in (
-            "hash_fwd_corners", "hash_grad_corners",
-            "hash_grad_levels", "proposal_fwd_corners",
-        )
-        if getattr(config.model, k)
-    }
-    if parameters.cold and stochastic_knobs:
-        if parameters.cold_safe:
-            config.model = dataclasses.replace(
-                config.model, **{k: 0 for k in stochastic_knobs}
-            )
-            print(
-                "cold-safe: substituted exact estimator knobs for "
-                f"{sorted(stochastic_knobs)} (stochastic estimators lose "
-                "~2.5 dB thermal PSNR on cold/inverted scenes, "
-                "outputs/qa_r4/cold)",
-                flush=True,
-            )
-        else:
-            import warnings
-
-            warnings.warn(
-                "cold=True with stochastic estimator knobs "
-                f"{stochastic_knobs}: these knobs measurably lose ~2.5 dB "
-                "thermal PSNR on inverted (cold) scenes at iso-wall-clock "
-                "(outputs/qa_r4/cold — fast 11.53 dB vs exact 13.99 dB). "
-                "Use --method thermal-nerf (exact) on cold scenes, or pass "
-                "--cold-safe to auto-substitute the exact knobs.",
-                stacklevel=2,
-            )
+    config = apply_cold_guard(config, cold_safe=parameters.cold_safe)
 
     pipe = build_pipeline(config)
     assert pipe.train_stack is not None and pipe.train_outputs is not None

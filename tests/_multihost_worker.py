@@ -64,6 +64,92 @@ def tiny_setup(num_rays: int = 64):
     return cfg, cameras, images, thermal
 
 
+def big_setup():
+    """Realistic-scale trainer inputs (round-5 verdict item 8): 48 images at
+    256px, 4096-ray batches — the regime where the fed path's 1-image device
+    placeholder and the cross-process batch globalization actually matter.
+    Field sizes stay CPU-tractable; the DATA path is the thing under test."""
+    import dataclasses
+
+    import numpy as np
+
+    from thermo_tpu.configs.methods import thermal_nerf_tiny_config
+    from thermo_tpu.data.cameras import Cameras
+    from thermo_tpu.models.thermal_nerf import ProposalNetArgs
+
+    cfg = thermal_nerf_tiny_config()
+    cfg.train_num_rays_per_batch = 4096
+    cfg.steps_per_jit_loop = 2
+    cfg.model = dataclasses.replace(
+        cfg.model,
+        num_levels=4, max_res=64, log2_hashmap_size=11,
+        num_proposal_samples_per_ray=(24, 12), num_nerf_samples_per_ray=8,
+        proposal_net_args_list=(
+            ProposalNetArgs(num_levels=2, max_res=32, log2_hashmap_size=8, hidden_dim=8),
+        ) * 2,
+        far_plane=6.0,
+    )
+    n, size = 48, 256
+    angles = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    c2w = np.tile(np.eye(4)[:3], (n, 1, 1)).astype(np.float32)
+    c2w[:, 0, 3] = 1.5 * np.cos(angles)
+    c2w[:, 1, 3] = 1.5 * np.sin(angles)
+    c2w[:, 2, 3] = 0.5
+    cameras = Cameras.from_numpy(
+        fx=np.full(n, 300.0), fy=np.full(n, 300.0),
+        cx=np.full(n, size / 2), cy=np.full(n, size / 2),
+        width=np.full(n, size), height=np.full(n, size), c2w=c2w,
+    )
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 255, (n, size, size, 3), dtype=np.uint8)
+    thermal = rng.integers(0, 255, (n, size, size, 1), dtype=np.uint8)
+    return cfg, cameras, images, thermal
+
+
+def _trainer_big_mode(pid: int) -> None:
+    """model_parallel=2 COMBINED with data_shards=2 at the big_setup scale:
+    a ("data","model") 2x2 mesh over both processes — hash tables sharded
+    over "model", ray batches globalized over "data" from host-disjoint
+    image shards (round-5 verdict item 8)."""
+    import jax
+    import numpy as np
+
+    from thermo_tpu.engine.trainer import Trainer
+    from thermo_tpu.models.thermal_nerf import ThermoNerfModel
+    from thermo_tpu.parallel.mesh import data_model_mesh
+
+    assert jax.process_count() == 2 and jax.device_count() == 4
+    mesh = data_model_mesh(2)  # ("data","model") = 2x2
+    assert dict(mesh.shape) == {"data": 2, "model": 2}
+
+    cfg, cameras, images, thermal = big_setup()
+    half = images.shape[0] // 2
+    lo = pid * half
+    model = ThermoNerfModel(cfg.model, ((-1.0,) * 3, (1.0,) * 3), images.shape[0])
+    trainer = Trainer(
+        cfg, model, cameras, images[lo : lo + half], thermal[lo : lo + half],
+        mesh=mesh, data_shards=2, local_shard=pid,
+    )
+    # HBM-safety of the fed path: the device arrays are 1-image placeholders
+    # (engine/trainer.py:316-328) — the 48x256px stacks stay host-side.
+    assert trainer.images.shape[0] == 1, trainer.images.shape
+    assert trainer.thermal.shape[0] == 1, trainer.thermal.shape
+    # the hash tables really are sharded over the model axis
+    table = trainer.state.params["fields"]["grid"]["table"]
+    tspec = table.sharding.spec
+    assert "model" in str(tspec), tspec
+    losses = []
+    state = trainer.state
+    for _ in range(3):
+        state, metrics = trainer.train_steps(
+            state, trainer.images, trainer.thermal, trainer.cameras
+        )
+        losses.append(float(metrics["total_loss"]))
+    assert all(np.isfinite(losses)), losses
+    print(f"LOSSES process={pid} " + ",".join(f"{l!r}" for l in losses), flush=True)
+    print(f"OK process={pid}", flush=True)
+
+
 def _trainer_mode(pid: int) -> None:
     import jax
     import numpy as np
@@ -107,6 +193,9 @@ def main() -> None:
 
     if mode == "trainer":
         _trainer_mode(pid)
+        return
+    if mode == "trainer_big":
+        _trainer_big_mode(pid)
         return
 
     import jax

@@ -64,6 +64,55 @@ def test_two_process_distributed_grad_step():
     _run_workers("toy")
 
 
+def test_two_process_model_parallel_trainer_realistic():
+    """Round-5 verdict item 8: the host-disjoint fed path at a REALISTIC
+    stack (48 images @256px, 4096-ray batches) with model_parallel=2
+    COMBINED with data_shards=2 (("data","model") 2x2 mesh across both
+    processes). Asserts (a) the 1-image device placeholder trick holds
+    (HBM safety — the big stacks never upload), (b) hash tables are really
+    model-sharded, (c) both processes agree on the all-reduced losses, and
+    (d) the trajectory matches the single-process no-mesh oracle."""
+    import re
+
+    import numpy as np
+
+    outs = _run_workers("trainer_big")
+    dist_losses = None
+    for out in outs:
+        m = re.search(r"LOSSES process=\d ([^\n]+)", out)
+        assert m, out
+        losses = [float(x) for x in m.group(1).split(",")]
+        if dist_losses is None:
+            dist_losses = losses
+        else:
+            np.testing.assert_allclose(losses, dist_losses, rtol=1e-5)
+
+    import sys as _sys
+
+    sys_path_added = str(Path(__file__).parent)
+    if sys_path_added not in _sys.path:
+        _sys.path.insert(0, sys_path_added)
+    from _multihost_worker import big_setup
+
+    from thermo_tpu.engine.trainer import Trainer
+    from thermo_tpu.models.thermal_nerf import ThermoNerfModel
+
+    cfg, cameras, images, thermal = big_setup()
+    model = ThermoNerfModel(cfg.model, ((-1.0,) * 3, (1.0,) * 3), images.shape[0])
+    trainer = Trainer(
+        cfg, model, cameras, images, thermal,
+        mesh=None, data_shards=2, local_shard=None,
+    )
+    oracle = []
+    state = trainer.state
+    for _ in range(3):
+        state, metrics = trainer.train_steps(
+            state, trainer.images, trainer.thermal, trainer.cameras
+        )
+        oracle.append(float(metrics["total_loss"]))
+    np.testing.assert_allclose(dist_losses, oracle, rtol=1e-4)
+
+
 def test_two_process_trainer_matches_single_process():
     """Round-4 verdict item 10: the REAL image-stack trainer on the
     host-disjoint data path. Each worker process holds half the images

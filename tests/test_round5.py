@@ -286,3 +286,55 @@ class TestEvaluatorMetricsProperty:
         ev = object.__new__(Evaluator)
         ev._metrics = {"psnr_mean": 1.0}
         assert ev.metrics == {"psnr_mean": 1.0}
+
+
+class TestTrainTimeViewer:
+    def test_viewer_serves_frames_mid_training(self, scene, tmp_path):
+        """Round-5 verdict item 6: the HTTP viewer attached to a LIVE
+        Trainer serves rendered frames mid-run from live param snapshots
+        (the inherited nerfstudio capability, config_thermal_nerf.py:46)."""
+        import json as _json
+        import urllib.request
+
+        from thermo_tpu.viewer.server import ViewerServer
+
+        cfg = _tiny_config(scene, tmp_path)
+        cfg.max_num_iterations = 60
+        cfg.metrics_logging_frequency = 0.05  # log (and snapshot) every 20
+        pipe = build_pipeline(cfg)
+        trainer = Trainer(
+            cfg, pipe.model, pipe.train_cameras,
+            pipe.train_stack.images, pipe.train_stack.thermal,
+        )
+        trainer.refresh_viewer_params()
+        viewer = ViewerServer(
+            pipe, height=24, width=32, port=0, chunk_size=1 << 10,
+            params_fn=lambda: trainer.viewer_params,
+        )
+        server = viewer.start_background()
+        frames = []
+
+        def log_fn(log):
+            if frames:
+                return  # one mid-run fetch is the assertion
+            for modality in ("rgb", "thermal"):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{viewer.port}/render",
+                    data=_json.dumps({"theta": 0.5, "phi": 1.2,
+                                      "radius": 2.0, "modality": modality}).encode(),
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    assert resp.status == 200
+                    frames.append((log.step, modality, resp.read()))
+
+        trainer.log_fn = log_fn
+        try:
+            trainer.train()
+        finally:
+            server.shutdown()
+        assert frames, "viewer was never queried mid-run"
+        step, _, jpeg = frames[0]
+        assert 0 < step < 60, "frame must be served MID-run"
+        assert jpeg[:2] == b"\xff\xd8", "response is not a JPEG"
+        assert len(frames) == 2  # rgb + thermal both served

@@ -377,8 +377,20 @@ class Trainer:
             )
         self.logs: list[TrainLog] = []
         self.early_stop: Optional[dict] = None  # set when early stopping fires
+        # Train-time viewer attach (round-5): ``viewer_params`` holds a
+        # COPIED params snapshot (never the live donated buffers — the
+        # jitted step donates its state, so a concurrent reader of
+        # state.params could hit a deleted buffer). Initialized by
+        # refresh_viewer_params(); once non-None, the train loop refreshes
+        # it at every log boundary.
+        self.viewer_params: Optional[Any] = None
         self._eval_batch_fn = None
         self._eval_data = None
+
+    def refresh_viewer_params(self) -> Any:
+        """Snapshot current params for a concurrently-serving viewer."""
+        self.viewer_params = jax.tree_util.tree_map(jnp.copy, self.state.params)
+        return self.viewer_params
 
     # ------------------------------------------------------------------
     # host-disjoint data path (data_shards > 1)
@@ -699,6 +711,8 @@ class Trainer:
                 host_metrics = {k: float(v) for k, v in metrics.items()}  # sync
                 host_metrics.update(pending_eval)
                 pending_eval = {}
+                if self.viewer_params is not None:  # live viewer attached
+                    self.refresh_viewer_params()
                 now = time.perf_counter()
                 rays_per_sec = (
                     cfg.train_num_rays_per_batch * (host_step - sync_step)

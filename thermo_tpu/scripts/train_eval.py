@@ -84,6 +84,11 @@ class TrainingParameters:
     # (outputs/qa_r4/cold). With --cold they trigger a hard warning; pass
     # --cold-safe to auto-substitute the exact knobs instead.
     cold_safe: bool = False
+    # Train-time viewer attach (round-5 verdict item 6, matching the
+    # inherited ViewerConfig capability, config_thermal_nerf.py:46): serve
+    # the HTTP orbit viewer DURING training on live param snapshots.
+    viewer: bool = False
+    viewer_port: int = 7007
     # Multi-chip: the trainer automatically builds a ("data",) mesh over all
     # visible devices (rays sharded, grads all-reduced over ICI by XLA);
     # model_parallel > 1 upgrades it to ("data","model") sharding the hash
@@ -257,6 +262,23 @@ def main(parameters: TrainingParameters) -> Path:
             saved["step"] = step
             trainer.restore(saved)
             print(f"resumed from {latest} at step {step}", flush=True)
+
+    if parameters.viewer:
+        from thermo_tpu.viewer.server import ViewerServer
+
+        trainer.refresh_viewer_params()
+        live_viewer = ViewerServer(
+            pipe,
+            port=parameters.viewer_port,
+            chunk_size=config.viewer_num_rays_per_chunk,
+            params_fn=lambda: trainer.viewer_params,
+        )
+        live_viewer.start_background()
+        print(
+            f"viewer attached at http://localhost:{live_viewer.port} "
+            "(live training renders)",
+            flush=True,
+        )
 
     t0 = time.time()
     trainer.train(

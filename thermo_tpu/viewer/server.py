@@ -7,6 +7,14 @@ the browser posts a camera pose to ``/render`` and receives a JPEG; the
 bundled page provides drag-orbit/zoom and a modality selector (rgb, thermal,
 depth, accumulation). Rendering is chunked through the same jitted path as
 offline eval (viewer chunk 2^15, config_thermal_nerf.py:46).
+
+TRAIN-TIME ATTACH (round-5): the inherited nerfstudio trainer also streams
+renders DURING training (ViewerConfig,
+thermo_nerf/thermal_nerf/config_thermal_nerf.py:46). Pass ``params_fn``
+returning the live trainer's latest parameter snapshot
+(``Trainer.viewer_params``, refreshed at log boundaries as a buffer COPY so
+the donated train-step buffers are never read concurrently) and call
+``start_background()``; ``thermo-tpu-train --viewer`` wires this up.
 """
 
 from __future__ import annotations
@@ -94,10 +102,16 @@ class ViewerServer:
         width: int = 640,
         port: int = 7007,
         chunk_size: int = 1 << 15,
+        params_fn=None,
     ):
+        """``params_fn``: optional zero-arg callable returning the params to
+        render with on EVERY request — the train-time attach hook (a live
+        Trainer's ``viewer_params`` snapshot). None = the pipeline's static
+        (checkpoint-restored) params."""
         self.pipeline = pipeline
         self.height, self.width, self.port = height, width, port
         self._render = make_render_fn(pipeline.model, chunk_size=chunk_size)
+        self._params_fn = params_fn
         self._lock = threading.Lock()
 
     def render_pose(self, theta: float, phi: float, radius: float, modality: str) -> bytes:
@@ -107,8 +121,11 @@ class ViewerServer:
             fx=[focal], fy=[focal], cx=[self.width / 2], cy=[self.height / 2],
             width=[self.width], height=[self.height], c2w=c2w[None],
         )
+        params = (
+            self._params_fn() if self._params_fn is not None else self.pipeline.params
+        )
         with self._lock:
-            out = self._render(self.pipeline.params, cameras, 0, self.height, self.width)
+            out = self._render(params, cameras, 0, self.height, self.width)
         if modality == "thermal" and "thermal" in out:
             img = apply_float_colormap(out["thermal"], "magma")
         elif modality == "depth":
@@ -121,7 +138,7 @@ class ViewerServer:
         Image.fromarray(to_uint8(img)).save(buf, format="JPEG", quality=90)
         return buf.getvalue()
 
-    def serve_forever(self) -> None:
+    def _make_server(self) -> ThreadingHTTPServer:
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -153,6 +170,18 @@ class ViewerServer:
                 self.end_headers()
                 self.wfile.write(jpeg)
 
-        server = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
+        return ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
+
+    def serve_forever(self) -> None:
+        server = self._make_server()
         print(f"viewer listening on http://localhost:{self.port}")
         server.serve_forever()
+
+    def start_background(self) -> ThreadingHTTPServer:
+        """Train-time attach: serve on a daemon thread and return the server
+        (call ``.shutdown()`` to stop). ``port=0`` binds a free port; the
+        bound port is written back to ``self.port``."""
+        server = self._make_server()
+        self.port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server

@@ -79,6 +79,12 @@ class TrainingParameters:
     # consecutive eval batches, restoring the best-seen params (round-4
     # verdict item: the overfit wall demands early stopping). 0 = off.
     early_stop_patience: int = 0
+    # late-training sample-count annealing (TrainerConfig.anneal_*): past
+    # anneal_step the train step switches to these reduced per-ray sample
+    # counts (PERFORMANCE.md roadmap #6). 0 = off.
+    anneal_step: int = 0
+    anneal_proposal_samples: Optional[tuple[int, ...]] = None
+    anneal_nerf_samples: Optional[int] = None
     # cold-scene guard (round-5 verdict item 4): stochastic estimator knobs
     # measurably lose ~2.5 dB thermal PSNR on inverted (cold) scenes
     # (outputs/qa_r4/cold). With --cold they trigger a hard warning; pass
@@ -191,6 +197,10 @@ def main(parameters: TrainingParameters) -> Path:
         config.model = dataclasses.replace(config.model, **knob_overrides)
     if parameters.steps_per_eval_batch is not None:
         config.steps_per_eval_batch = parameters.steps_per_eval_batch
+    if parameters.anneal_step:
+        config.anneal_step = parameters.anneal_step
+        config.anneal_proposal_samples = parameters.anneal_proposal_samples
+        config.anneal_nerf_samples = parameters.anneal_nerf_samples
 
     config = apply_cold_guard(config, cold_safe=parameters.cold_safe)
 

@@ -326,6 +326,16 @@ def thermal_nerf_f8_config() -> TrainerConfig:
 
     cfg = thermal_nerf_fast_config()
     cfg.method_name = "thermal-nerf-f8"
+    # F8 eval-chunk cap: in the grad-free eval render the exact-F8
+    # proposal encode's corner gather MATERIALIZES index-major on v5e —
+    # f32[N*L*8, 8] tiled T(8,128) pads the minor 8 -> 128 (16x; the same
+    # trap as PERFORMANCE.md "64x layout trap") = 137 GB at the default
+    # 2^16-ray chunk, measured OOM (outputs/qa_r5_run.log); the training
+    # step's custom-VJP/scan context keeps the same gather fused (measured
+    # fine at 1.05M points/step). 2^11 rays x 256 proposal samples keeps
+    # the padded tensor at ~4.3 GB.
+    cfg.eval_num_rays_per_chunk = 1 << 11
+    cfg.viewer_num_rays_per_chunk = 1 << 11
     cfg.model = dataclasses.replace(
         cfg.model,
         proposal_net_args_list=(
@@ -368,6 +378,9 @@ def thermal_nerf_e8_config() -> TrainerConfig:
 
     cfg = thermal_nerf_config()
     cfg.method_name = "thermal-nerf-e8"
+    # F8 eval-chunk cap — see thermal_nerf_f8_config
+    cfg.eval_num_rays_per_chunk = 1 << 11
+    cfg.viewer_num_rays_per_chunk = 1 << 11
     cfg.model = dataclasses.replace(
         cfg.model,
         num_levels=4,

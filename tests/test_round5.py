@@ -338,3 +338,16 @@ class TestTrainTimeViewer:
         assert 0 < step < 60, "frame must be served MID-run"
         assert jpeg[:2] == b"\xff\xd8", "response is not a JPEG"
         assert len(frames) == 2  # rgb + thermal both served
+
+
+class TestF8EvalChunkCap:
+    def test_f8_presets_cap_eval_chunks(self):
+        """F8-packed grids OOM the grad-free eval render at large chunks
+        (index-major gather materialization, PERFORMANCE.md round 5); the
+        presets must cap eval/viewer chunks at 2^11 rays."""
+        from thermo_tpu.configs.methods import thermal_nerf_f8g_config
+
+        for cfg in (thermal_nerf_f8_config(), thermal_nerf_f8g_config(),
+                    thermal_nerf_e8_config()):
+            assert cfg.eval_num_rays_per_chunk <= 1 << 11, cfg.method_name
+            assert cfg.viewer_num_rays_per_chunk <= 1 << 11, cfg.method_name

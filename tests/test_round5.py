@@ -182,6 +182,27 @@ class TestColdGuard:
                 apply_cold_guard(cfg, cold_safe=False)
 
 
+class TestCapacityAdvisory:
+    def test_warns_on_small_capture_with_full_grid(self):
+        from thermo_tpu.configs.methods import thermal_nerf_config
+        from thermo_tpu.scripts.train_eval import apply_capacity_advisory
+
+        cfg = thermal_nerf_config()  # 2^19 tables
+        with pytest.warns(UserWarning, match="capacity-bound"):
+            apply_capacity_advisory(cfg, num_train_images=24)
+
+    def test_silent_on_rich_capture_or_small_grid(self):
+        import warnings as w
+
+        from thermo_tpu.configs.methods import thermal_nerf_config
+        from thermo_tpu.scripts.train_eval import apply_capacity_advisory
+
+        with w.catch_warnings():
+            w.simplefilter("error")
+            apply_capacity_advisory(thermal_nerf_config(), num_train_images=150)
+            apply_capacity_advisory(thermal_nerf_tiny_config(), num_train_images=24)
+
+
 class TestF8Presets:
     def test_f8_packs_proposals_only(self):
         fast, f8 = thermal_nerf_fast_config(), thermal_nerf_f8_config()

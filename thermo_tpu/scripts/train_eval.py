@@ -149,6 +149,30 @@ def apply_cold_guard(config, cold_safe: bool = False):
     return config
 
 
+def apply_capacity_advisory(config, num_train_images: int) -> None:
+    """Small-capture capacity advisory (round 5): on 24-view synthetic
+    scenes the full nerfacto-scale grid (16x2^19) is memorization-limited —
+    ``thermal-nerf-tiny`` (8x2^15, max_res 256) beats the best full-capacity
+    variant by +6.9 dB thermal PSNR on sphere and +10.2 dB on the cold
+    scene (outputs/qa_r5/RESULTS.md "Capacity probe"); sphereinv is the
+    measured counterexample (-2.1 dB), so this only WARNS. Warning-only by
+    design: capacity choice is scene-dependent and a silent substitution
+    would change numerics under the user."""
+    if num_train_images >= 50 or config.model.log2_hashmap_size < 17:
+        return
+    import warnings
+
+    warnings.warn(
+        f"{num_train_images} training views with a full-capacity grid "
+        f"(2^{config.model.log2_hashmap_size} tables): small captures are "
+        "measurably capacity-bound — thermal-nerf-tiny gained +6.9/+10.2 dB "
+        "thermal PSNR over full-capacity presets on 24-view scenes "
+        "(outputs/qa_r5/RESULTS.md). Consider --method thermal-nerf-tiny "
+        "or a reduced log2_hashmap_size.",
+        stacklevel=2,
+    )
+
+
 def modalities_for(model_type: ModelType) -> list[RenderedImageModality]:
     if model_type == ModelType.THERMONERF:
         return [
@@ -206,6 +230,7 @@ def main(parameters: TrainingParameters) -> Path:
 
     pipe = build_pipeline(config)
     assert pipe.train_stack is not None and pipe.train_outputs is not None
+    apply_capacity_advisory(config, int(pipe.train_stack.images.shape[0]))
     exp_dir = config.experiment_dir
 
     from thermo_tpu.utils.tracking import MetricsTracker

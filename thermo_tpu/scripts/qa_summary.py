@@ -40,6 +40,30 @@ def summarize_root(root: Path) -> dict:
     variants = list(results) or [
         p.name for p in root.iterdir() if (p / "metrics" / "metrics.json").exists()
     ]
+    if not variants and (root / "metrics" / "metrics.json").exists():
+        # a single train_eval experiment root (metrics-output-folder layout:
+        # root/metrics/metrics.json + root/<experiment>/<method>/
+        # train_metrics.jsonl) rather than a quality_ablation root
+        row = {
+            k: v
+            for k, v in json.loads(
+                (root / "metrics" / "metrics.json").read_text()
+            )["results"].items()
+            if k.endswith("_mean")
+        }
+        pts = trajectory(root)
+        if pts:
+            steps, vals = zip(*pts)
+            i_min = vals.index(min(vals))
+            row.update(
+                eval_points=len(pts), eval_min_step=steps[i_min],
+                eval_last_step=steps[-1], eval_min=vals[i_min],
+                eval_last=vals[-1],
+                interior_minimum=bool(
+                    steps[i_min] < steps[-1] and vals[-1] > vals[i_min] * 1.10
+                ),
+            )
+        return {root.name: row}
     for name in variants:
         row = dict(results.get(name, {}))
         mj = root / name / "metrics" / "metrics.json"

@@ -3,16 +3,18 @@ of the flagship thermal-nerf config (full nerfacto scale: 16x2^19 hash grid,
 2 proposal nets at 256/96 samples, 48 final samples, RGB+thermal heads,
 4096 rays/batch, bf16 compute) on one chip.
 
-With no arguments, benchmarks the THREE shipped method tiers and prints FOUR
+With no arguments, benchmarks the FOUR shipped method tiers and prints FIVE
 JSON lines: the flagship ``thermal-nerf-tpu`` first (so its line survives
 even if the driver times the run out), then the exact reference-parity
-``thermal-nerf``, then the promoted quality preset ``thermal-nerf-fast``
+``thermal-nerf``, then the small-capture quality preset ``thermal-nerf-fast``
 (the honest headline is the PAIR throughput-preset/quality-preset — round-4
-verdict weak #6), then the flagship line RE-PRINTED verbatim as a guard —
-the driver parses only the FINAL line as the headline {"metric", "value",
-"unit", "vs_baseline"}; consumers aggregating all lines must dedupe the
-repeated flagship line. ``--method`` restricts to a single method (one
-line, no reprint).
+verdict weak #6), then the round-5 data-rich quality preset
+``thermal-nerf-e8`` — with the flagship line RE-PRINTED verbatim after each
+method as a guard: the driver parses only the FINAL line as the headline
+{"metric", "value", "unit", "vs_baseline"}, and the reprints keep that true
+even if the run is timed out mid-way. Consumers aggregating all lines must
+dedupe the repeated flagship line. ``--method`` restricts to a single
+method (one line, no reprint).
 
 Baseline: the reference (nerfstudio/tcnn ThermoNeRF) publishes no throughput
 numbers. ``vs_baseline`` divides by a documented, source-cited estimate of
@@ -72,8 +74,17 @@ def main() -> None:
     # exact second, quality preset third, then the flagship line re-printed
     # LAST — the driver parses the final JSON line as the headline
     flagship_line = _bench_method(jax, "thermal-nerf-tpu", args)
+    # the flagship line is RE-PRINTED after every method so that if the
+    # driver times the run out at any point, the final complete line is
+    # still the flagship headline (the driver parses the LAST line)
     _bench_method(jax, "thermal-nerf", args)
+    print(flagship_line, flush=True)
     _bench_method(jax, "thermal-nerf-fast", args)
+    print(flagship_line, flush=True)
+    # round-5 promoted data-rich quality preset: F8-packed grids with
+    # all-exact estimators — beats thermal-nerf at iso-wall-clock on the
+    # data-rich scene (25.04 vs 24.31 dB, outputs/qa_r5/RESULTS.md)
+    _bench_method(jax, "thermal-nerf-e8", args)
     print(flagship_line, flush=True)
 
 

@@ -153,7 +153,8 @@ def apply_capacity_advisory(config, num_train_images: int) -> None:
     """Small-capture capacity advisory (round 5): on 24-view synthetic
     scenes the full nerfacto-scale grid (16x2^19) is memorization-limited —
     ``thermal-nerf-tiny`` (8x2^15, max_res 256) beats the best full-capacity
-    variant by +6.9 dB thermal PSNR on sphere and +10.2 dB on the cold
+    variant by +12.7 dB thermal PSNR on sphere (TPU iso-420s protocol:
+    31.97 vs 19.30 dB) and +10.2 dB on the cold
     scene (outputs/qa_r5/RESULTS.md "Capacity probe"); sphereinv is the
     measured counterexample (-2.1 dB), so this only WARNS. Warning-only by
     design: capacity choice is scene-dependent and a silent substitution
@@ -165,7 +166,7 @@ def apply_capacity_advisory(config, num_train_images: int) -> None:
     warnings.warn(
         f"{num_train_images} training views with a full-capacity grid "
         f"(2^{config.model.log2_hashmap_size} tables): small captures are "
-        "measurably capacity-bound — thermal-nerf-tiny gained +6.9/+10.2 dB "
+        "measurably capacity-bound — thermal-nerf-tiny gained +12.7/+10.2 dB "
         "thermal PSNR over full-capacity presets on 24-view scenes "
         "(outputs/qa_r5/RESULTS.md). Consider --method thermal-nerf-tiny "
         "or a reduced log2_hashmap_size.",

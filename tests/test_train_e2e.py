@@ -78,6 +78,14 @@ class TestTraining:
         _, _, logs, _ = trained
         assert logs[-1].rays_per_sec > 0
 
+    def test_wall_time_stamped_and_monotone(self, trained):
+        # per-log wall clocks localize one-off stalls that a window-average
+        # rays/s can only dilute (qa_r5 anneal-e8 tail)
+        _, _, logs, _ = trained
+        stamps = [l.wall_time for l in logs]
+        assert all(s > 0 for s in stamps)
+        assert stamps == sorted(stamps)
+
     def test_checkpoint_roundtrip(self, trained):
         pipe, trainer, _, exp_dir = trained
         path = ckpt.latest_checkpoint(exp_dir)

@@ -268,6 +268,13 @@ class TrainLog:
     step: int
     metrics: dict[str, float]
     rays_per_sec: float
+    # Host wall-clock at log time (time.time()). rays_per_sec is a
+    # window average between sync points; with per-log timestamps a
+    # one-off stall (remote-tunnel hiccup, surprise recompile) can be
+    # localized instead of just diluting the window rate — the
+    # qa_r5 anneal-e8 run's ~0.4k rays/s tail was unattributable
+    # without this.
+    wall_time: float = 0.0
 
 
 class Trainer:
@@ -659,6 +666,7 @@ class Trainer:
                             * (host_step - sync_step)
                             / max(now - sync_t, 1e-9)
                         ),
+                        wall_time=time.time(),
                     ))
                     if self.log_fn is not None:
                         self.log_fn(self.logs[-1])
@@ -702,6 +710,7 @@ class Trainer:
                                 step=host_step,
                                 metrics=host_metrics,
                                 rays_per_sec=0.0,
+                                wall_time=time.time(),
                             ))
                             if self.log_fn is not None:
                                 self.log_fn(self.logs[-1])
@@ -720,7 +729,10 @@ class Trainer:
                 )
                 sync_t, sync_step = now, host_step
                 log = TrainLog(
-                    step=host_step, metrics=host_metrics, rays_per_sec=rays_per_sec
+                    step=host_step,
+                    metrics=host_metrics,
+                    rays_per_sec=rays_per_sec,
+                    wall_time=time.time(),
                 )
                 self.logs.append(log)
                 if self.log_fn is not None:

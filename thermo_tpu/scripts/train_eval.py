@@ -245,7 +245,14 @@ def main(parameters: TrainingParameters) -> Path:
             f"({log.rays_per_sec:,.0f} rays/s)",
             flush=True,
         )
-        tracker.log_metrics({**log.metrics, "rays_per_sec": log.rays_per_sec}, log.step)
+        tracker.log_metrics(
+            {
+                **log.metrics,
+                "rays_per_sec": log.rays_per_sec,
+                "wall_time": log.wall_time,
+            },
+            log.step,
+        )
 
     mesh = None
     if parameters.multichip:

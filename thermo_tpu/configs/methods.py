@@ -373,7 +373,15 @@ def thermal_nerf_e8_config() -> TrainerConfig:
     ~80% hashed-level per-access traffic; F8 packing cuts exact per-element
     gather cost 2.6x and turns the 8-corner backward into column scatters
     (41 ns/8-wide vs 8x10 ns scalar). Quality-ablated on the cold scenes in
-    outputs/qa_r5."""
+    outputs/qa_r5.
+
+    Measured (iso-420s, 150-view/256px rich scene, v5e): 25.04 dB thermal
+    at 440 steps vs exact's 24.31 at 330 — and with late sample annealing
+    (--anneal-step 150 --anneal-proposal-samples 128 48
+    --anneal-nerf-samples 24) **25.56 dB at 710 steps** (8.2k rays/s
+    post-anneal steady state) — the promoted data-rich recipe
+    (outputs/qa_r5/anneal-rich/anneal-e8-rich-rerun, PERFORMANCE.md
+    round 5)."""
     import dataclasses
 
     cfg = thermal_nerf_config()
